@@ -1,0 +1,97 @@
+"""Problem configuration for the TPU-native consensus-ADMM trajectory optimizer.
+
+Replaces the mutable-global configuration of the reference implementation
+(`/root/reference/HighOrderCCD/Utils/CCDUtils.h:36-82`, parsed from
+`Config File/3D.json` in `Main/admmPathPlanning3D.cpp:368-397`) with a single
+immutable dataclass.  Every knob of the reference — including the ones it
+hard-codes in its `main()`s (`ks`, `kt`, initial `piece_time`, `uav_num`) — is
+an explicit field here.
+
+Static shape parameters (`order`, `der`, `res`, `max_planes`, ...) are traced
+as Python constants so everything downstream jit-compiles with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+ORDER = 5  # quintic Bezier             (reference: CCDUtils.h:31 `order_num`)
+DER = 3    # jerk minimization          (reference: CCDUtils.h:32 `der_num`)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrajOptConfig:
+    # --- knobs from Config_File/3D.json (same names where legal) -----------
+    lam: float = 10.0          # "lambda": barrier weight
+    epsilon: float = 0.1       # kept for config parity (unused by solver, as in reference)
+    margin: float = 0.1        # barrier activation distance (d-hat)
+    offset: float = 0.1        # hard clearance radius
+    res: int = 8               # Bezier subdivisions per piece
+    vel_limit: float = 2.0
+    acc_limit: float = 2.0
+    stop: float = 1e-2         # outer-loop gnorm threshold
+    mu: float = 0.1            # ADMM penalty
+    decouple: bool = True      # multi-robot: per-robot time vs shared time
+    optimal_plane: bool = False
+    init_mode: int = 1         # 1 = waypoint file, 2 = RRT planner
+    init_ob: bool = True
+    exit_on_converge: bool = False
+    automove: bool = False
+    gui: bool = False          # accepted for config parity; rendering is offline
+    # --- values hard-coded in the reference mains --------------------------
+    ks: float = 1e-8           # jerk weight   (admmPathPlanning3D.cpp:477; multi uses 1e-3)
+    kt: float = 1.0            # time weight   (admmPathPlanning3D.cpp:478)
+    init_piece_time: float = 20.0  # admmPathPlanning3D.cpp:482
+    # --- TPU-build static-shape knobs (new; no reference equivalent) -------
+    max_planes: int = 32       # K: separating-plane slots per subdivided segment
+    max_self_planes: int = 8   # per-robot-pair plane slots per segment
+    max_ccd_candidates: int = 32  # obstacle candidates per segment for the CCD clamp
+    max_line_search: int = 64  # cap on 0.8^k shrinks (0.8^64 ~ 6e-7)
+    gjk_iters: int = 24        # Frank-Wolfe iterations in the device GJK kernel
+    max_iters: int = 1_000_000
+
+    @property
+    def order(self) -> int:
+        return ORDER
+
+    @property
+    def der(self) -> int:
+        return DER
+
+    @classmethod
+    def from_json(cls, path: str, **overrides: Any) -> "TrajOptConfig":
+        """Load a reference-format `3D.json` config file.
+
+        Field mapping follows `Main/admmPathPlanning3D.cpp:372-397`.
+        """
+        with open(path) as f:
+            j = json.load(f)
+        kw: dict[str, Any] = {}
+        m = {
+            "lambda": ("lam", float),
+            "epsilon": ("epsilon", float),
+            "margin": ("margin", float),
+            "offset": ("offset", float),
+            "res": ("res", int),
+            "vel_limit": ("vel_limit", float),
+            "acc_limit": ("acc_limit", float),
+            "stop": ("stop", float),
+            "mu": ("mu", float),
+            "decouple": ("decouple", lambda v: bool(int(v))),
+            "optimal_plane": ("optimal_plane", lambda v: bool(int(v))),
+            "init": ("init_mode", int),
+            "init_ob": ("init_ob", lambda v: bool(int(v))),
+            "exit": ("exit_on_converge", lambda v: bool(int(v))),
+            "auto": ("automove", lambda v: bool(int(v))),
+            "gui": ("gui", lambda v: bool(int(v))),
+        }
+        for key, (field, conv) in m.items():
+            if key in j:
+                kw[field] = conv(j[key])
+        kw.update(overrides)
+        return cls(**kw)
+
+    def replace(self, **kw: Any) -> "TrajOptConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,194 @@
+"""Per-piece Newton blocks: local AL energies, autodiff grad/Hessian, and the
+batched PSD repair.
+
+The reference hand-derives every gradient/Hessian with Eigen rank updates
+(`HighOrderCCD/Gradient_admm.h`).  Here each piece's 19-variable local energy
+(18 control-point coordinates + 1 time) is differentiated with
+``jax.grad`` / forward-over-reverse ``jax.jacfwd(jax.grad(...))`` and vmapped
+over pieces — the per-piece PSD projection (Gradient_admm.h:40-53, load-bearing
+for SPD-ness of the assembled KKT) becomes one batched ``eigh`` spectrum shift.
+
+Sizes are tiny (19x19 per piece); the win on TPU is batching across
+pieces x robots x scenarios, not per-block cleverness.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrajOptConfig
+from ..types import Planes, SplineConsts
+from . import energies as en
+
+N_CP = 6        # order + 1
+N_LOC = 19      # 18 CP coords + shared time
+
+
+class PieceData(NamedTuple):
+    """Per-piece slices of constants and ADMM state (vmap leading axis P)."""
+
+    seg_basis: jnp.ndarray   # [R, n, n]
+    seg_weight: jnp.ndarray  # [R]
+    convert: jnp.ndarray     # [n, n]
+    plane_c: jnp.ndarray     # [R, K, 3]
+    plane_d: jnp.ndarray     # [R, K]
+    plane_mask: jnp.ndarray  # [R, K]
+    p_slack: jnp.ndarray     # [n, 3]
+    p_lambda: jnp.ndarray    # [n, 3]
+    t_slack: jnp.ndarray     # []
+    t_lambda: jnp.ndarray    # []
+
+
+def gather_piece_data(
+    consts: SplineConsts,
+    planes: Planes,
+    p_slack: jnp.ndarray,
+    t_slack: jnp.ndarray,
+    p_lambda: jnp.ndarray,
+    t_lambda: jnp.ndarray,
+) -> PieceData:
+    p = consts.piece_num
+    return PieceData(
+        seg_basis=consts.seg_basis,
+        seg_weight=jnp.broadcast_to(consts.seg_weight, (p, consts.res)),
+        convert=consts.convert,
+        plane_c=planes.c,
+        plane_d=planes.d,
+        plane_mask=planes.mask,
+        p_slack=p_slack,
+        p_lambda=p_lambda,
+        t_slack=t_slack,
+        t_lambda=t_lambda,
+    )
+
+
+def local_spline_energy(
+    x: jnp.ndarray, data: PieceData, cfg: TrajOptConfig
+) -> jnp.ndarray:
+    """One piece's spline-subproblem AL energy as a function of its 19 local
+    variables (Gradient_admm.h:67-164 `local_spline_gradient`'s integrand).
+
+    Masked (never infinite) so that it is safely differentiable; feasibility is
+    enforced by the line search, not here.
+    """
+    cp = x[: 3 * N_CP].reshape(N_CP, 3)
+    piece_time = x[3 * N_CP]
+    hull = jnp.einsum("rij,jd->rid", data.seg_basis, cp)        # [R,n,3]
+    w = data.seg_weight                                          # [R]
+
+    # --- plane barrier (lambda-weighted) --------------------------------
+    d = (
+        jnp.einsum("rjd,rkd->rkj", hull, data.plane_c)
+        + data.plane_d[..., None]
+    )                                                            # [R,K,n]
+    act = data.plane_mask[..., None] & (d > 0) & (d < cfg.margin)
+    e_pb = jnp.sum(w[:, None, None] * en._barrier(d, cfg.margin, act))
+
+    # --- velocity / acceleration bounds ---------------------------------
+    n = N_CP - 1
+    vel = n * jnp.diff(hull, axis=1)                             # [R,n-1,3]
+    wv = w[:, None]
+    vn_raw = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
+    dv_raw = cfg.vel_limit - vn_raw / (wv * piece_time)
+    v_act = (dv_raw > 0) & (dv_raw < cfg.margin)
+    vn = en._safe_norm(vel, v_act)
+    dv = cfg.vel_limit - vn / (wv * piece_time)
+    e_bd = jnp.sum(wv * en._barrier(dv, cfg.margin, v_act))
+
+    acc = n * (n - 1) * jnp.diff(hull, n=2, axis=1)              # [R,n-2,3]
+    an_raw = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+    da_raw = cfg.acc_limit - an_raw / (wv * wv * piece_time * piece_time)
+    a_act = (da_raw > 0) & (da_raw < cfg.margin)
+    an = en._safe_norm(acc, a_act)
+    da = cfg.acc_limit - an / (wv * wv * piece_time * piece_time)
+    e_bd = e_bd + jnp.sum(wv * en._barrier(da, cfg.margin, a_act))
+
+    # --- AL consensus coupling ------------------------------------------
+    delta = data.convert @ cp - data.p_slack
+    t_delta = piece_time - data.t_slack
+    al = (
+        cfg.mu / 2.0 * jnp.sum(delta * delta)
+        + jnp.sum(data.p_lambda * delta)
+        + cfg.mu / 2.0 * t_delta * t_delta
+        + data.t_lambda * t_delta
+    )
+    return cfg.lam * (e_pb + e_bd) + al
+
+
+def local_slack_energy(
+    x: jnp.ndarray,
+    c_spline: jnp.ndarray,   # [n,3] converted spline CPs (constant)
+    piece_time: jnp.ndarray,
+    p_lambda: jnp.ndarray,
+    t_lambda: jnp.ndarray,
+    m_dyn: jnp.ndarray,
+    cfg: TrajOptConfig,
+) -> jnp.ndarray:
+    """One piece's slack-subproblem energy over its 19 local variables
+    (Energy_admm.h:172-190 / Gradient_admm.h:574-622)."""
+    p_part = x[: 3 * N_CP].reshape(N_CP, 3)
+    t_part = x[3 * N_CP]
+    quad = jnp.einsum("id,ij,jd->", p_part, m_dyn, p_part)
+    dyn = cfg.ks / t_part ** (2 * cfg.der - 1) * 0.5 * quad + cfg.kt * t_part**1.1
+    delta = c_spline - p_part
+    t_delta = piece_time - t_part
+    return (
+        dyn
+        + cfg.mu / 2.0 * jnp.sum(delta * delta)
+        + jnp.sum(p_lambda * delta)
+        + cfg.mu / 2.0 * t_delta * t_delta
+        + t_lambda * t_delta
+    )
+
+
+def grad_and_hess(fn, x, *args):
+    """Gradient and forward-over-reverse Hessian of a scalar function."""
+    g = jax.grad(fn)(x, *args)
+    h = jax.jacfwd(jax.grad(fn))(x, *args)
+    return g, h
+
+
+def psd_repair(h: jnp.ndarray) -> jnp.ndarray:
+    """Batched spectrum shift: if min eigenvalue < 0, ``h - w_min I + 0.01 I``.
+
+    Exactly the reference's repair on Cholesky failure
+    (Gradient_admm.h:44-53, Optimization3D_admm.h:316-327), applied
+    unconditionally via one batched eigh (cheap at 19x19).
+    """
+    w = jnp.linalg.eigvalsh(h)
+    wmin = w[..., 0]
+    shift = jnp.where(wmin < 0, -wmin + 0.01, 0.0)
+    eye = jnp.eye(h.shape[-1], dtype=h.dtype)
+    return h + shift[..., None, None] * eye
+
+
+def piece_grads_and_hessians(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    spline: jnp.ndarray,
+    piece_time: jnp.ndarray,
+    planes: Planes,
+    p_slack: jnp.ndarray,
+    t_slack: jnp.ndarray,
+    p_lambda: jnp.ndarray,
+    t_lambda: jnp.ndarray,
+    repair: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[P,19] gradients and PSD-repaired [P,19,19] Hessians of the spline
+    subproblem (reference: `global_spline_gradient`, Gradient_admm.h:13-65)."""
+    cps = en.piece_cps(consts, spline)                    # [P,n,3]
+    xs = jnp.concatenate(
+        [cps.reshape(consts.piece_num, 3 * N_CP),
+         jnp.broadcast_to(piece_time, (consts.piece_num,))[:, None]],
+        axis=1,
+    )                                                      # [P,19]
+    data = gather_piece_data(consts, planes, p_slack, t_slack, p_lambda, t_lambda)
+
+    def one(x, d):
+        return grad_and_hess(local_spline_energy, x, d, cfg)
+
+    g, h = jax.vmap(one)(xs, data)
+    return g, psd_repair(h) if repair else h

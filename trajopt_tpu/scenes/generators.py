@@ -1,0 +1,146 @@
+"""Synthetic benchmark scenes.
+
+The reference's benchmark data (bridge.obj, cross.obj point clouds plus
+waypoint init files) is distributed out-of-band via a Google Drive link
+(`/root/reference/README.md:28`) and is NOT in the repository.  These
+generators reproduce the published scene *types*: a bridge-like structure for
+the single-UAV run and the antipodal cross-swap pattern whose start/goal pairs
+are hard-coded in `Main/multiPathPlanning3D.cpp:251-267`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def sphere_scene(
+    n_points: int = 2000,
+    radius: float = 1.0,
+    center=(0.0, 0.0, 0.0),
+    seed: int = 0,
+) -> np.ndarray:
+    """Point cloud on a sphere — the analytic-solution sanity scene."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n_points, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v * radius + np.asarray(center)
+
+
+def bridge_scene(
+    n_points: int = 20000,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bridge-like cloud: deck + two towers + arches, spanning x in [-6, 6].
+
+    Returns (points, way_points) where the waypoints thread under the deck
+    like the reference's bridge.obj run.
+    """
+    rng = np.random.default_rng(seed)
+    parts = []
+
+    def box(lo, hi, n):
+        lo, hi = np.asarray(lo, float), np.asarray(hi, float)
+        parts.append(lo + rng.uniform(size=(n, 3)) * (hi - lo))
+
+    n_deck = n_points // 2
+    n_tower = n_points // 16
+    n_pier = n_points // 16
+    # deck
+    box([-6, -1.0, 2.0], [6, 1.0, 2.4], n_deck)
+    # tower legs (paired, leaving a navigable gap at y ~ 0)
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            box([sx * 3 - 0.2, sy * 1.0 - 0.2, 0.0],
+                [sx * 3 + 0.2, sy * 1.0 + 0.2, 5.0], n_tower)
+    # pier legs at the ends
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            box([sx * 6 - 0.2, sy * 1.0 - 0.2, 0.0],
+                [sx * 6 + 0.2, sy * 1.0 + 0.2, 2.0], n_pier)
+    # cables (sampled lines from tower tops to deck)
+    n_cable = n_points - n_deck - 4 * n_tower - 4 * n_pier
+    t = rng.uniform(size=n_cable)
+    side = rng.integers(0, 2, n_cable) * 2 - 1
+    x0 = side * 3.0
+    x1 = side * rng.uniform(3.2, 5.8, n_cable)
+    pts = np.stack(
+        [
+            x0 + t * (x1 - x0),
+            rng.uniform(-1, 1, n_cable),
+            5.0 + t * (2.4 - 5.0),
+        ],
+        axis=1,
+    )
+    parts.append(pts)
+    cloud = np.concatenate(parts, axis=0)
+
+    # Fly up and under the deck: the z=1.8 leg sits 0.2 below the deck
+    # underside (z=2.0), inside the barrier margin band but outside the hard
+    # offset, so separating planes stay active through the solve.
+    way_points = np.array(
+        [
+            [-8.0, 0.0, 0.6],
+            [-4.0, 0.0, 1.6],
+            [0.0, 0.0, 1.8],
+            [4.0, 0.0, 1.6],
+            [8.0, 0.0, 0.6],
+        ]
+    )
+    return cloud, way_points
+
+
+def cross_waypoints(uav_num: int = 4, n_pieces: int = 4) -> np.ndarray:
+    """[U, n_pieces+1, 3] straight-line waypoint sets for the antipodal swap.
+
+    The first four start/goal pairs are exactly the hard-coded ones of
+    `Main/multiPathPlanning3D.cpp:251-267` scaled by 5 (the multi main scales
+    scene and waypoints by 5, multiPathPlanning3D.cpp:107,536); additional
+    robots are placed on a circle with antipodal goals.
+    """
+    starts, ends = [], []
+    base = [
+        ((2.5, 1.7, 0.5), (-2.5, 1.7, 0.5)),
+        ((2.5, 1.7, -0.5), (-2.5, 1.7, -0.5)),
+        ((-2.5, 1.7, 0.5), (2.5, 1.7, -0.5)),
+        ((-2.5, 1.7, -0.5), (2.5, 1.7, 0.5)),
+    ]
+    for i in range(min(uav_num, 4)):
+        s, e = base[i]
+        starts.append(np.asarray(s) * 5)
+        ends.append(np.asarray(e) * 5)
+    for i in range(4, uav_num):
+        ang = 2 * np.pi * (i - 4) / max(uav_num - 4, 1) + 0.3
+        z = 0.5 * ((i % 3) - 1)
+        s = np.array([12.5 * np.cos(ang), 12.5 * np.sin(ang), 2.5 * z])
+        starts.append(s)
+        ends.append(-s + np.array([0, 0, 2 * 2.5 * z]))
+    wps = []
+    for s, e in zip(starts, ends):
+        t = np.linspace(0.0, 1.0, n_pieces + 1)[:, None]
+        wps.append(s * (1 - t) + e * t)
+    return np.stack(wps)
+
+
+def cross_scene(
+    n_points: int = 5000, seed: int = 0
+) -> np.ndarray:
+    """Central obstacle cluster for the cross-swap scene (column + ring),
+    scaled like the x5 multi scenes."""
+    rng = np.random.default_rng(seed)
+    n_col = n_points // 2
+    col = np.stack(
+        [
+            rng.uniform(-1.0, 1.0, n_col),
+            rng.uniform(-1.0, 1.0, n_col),
+            rng.uniform(-4.0, 4.0, n_col),
+        ],
+        axis=1,
+    )
+    n_ring = n_points - n_col
+    ang = rng.uniform(0, 2 * np.pi, n_ring)
+    rad = rng.uniform(4.0, 5.0, n_ring)
+    ring = np.stack(
+        [rad * np.cos(ang), rad * np.sin(ang), rng.uniform(-1.0, 1.0, n_ring)],
+        axis=1,
+    )
+    return np.concatenate([col, ring], axis=0)

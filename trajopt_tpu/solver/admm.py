@@ -1,0 +1,315 @@
+"""Single-robot consensus-ADMM iteration as one jitted function.
+
+TPU-native re-architecture of `Optimization3D_admm` (Optimization3D_admm.h:29-67):
+the reference's three sequential phases — separating-plane generation, global
+spline Newton step with CCD-clamped Armijo line search, per-piece slack Newton
++ dual ascent — become pure array transformations composed into
+``admm_step(state, scene) -> (state, diag)``, with every data-dependent loop a
+``lax.while_loop`` on scalars and every per-(piece|segment|obstacle) loop a
+vmap.  Multi-robot modes wrap this module's pieces (see `solver/multi.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrajOptConfig
+from ..types import Planes, Scene, SolverState, SplineConsts, StepDiag
+from ..ops import broadphase as bp
+from ..ops import energies as en
+from ..ops import geometry as geo
+from ..ops import gradients as gr
+from ..ops import kkt
+
+_ARMIJO_C = 1e-4   # Optimization3D_admm.h:537
+_SHRINK = 0.8      # Optimization3D_admm.h:542 / Step.h:97
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: separating planes (Optimization3D_admm.h:69-197)
+# ---------------------------------------------------------------------------
+
+
+def separate_planes(
+    consts: SplineConsts, cfg: TrajOptConfig, spline: jnp.ndarray, scene: Scene
+) -> Planes:
+    """Fixed-K separating-plane table for every subdivided segment."""
+    hull = en.seg_cps(consts, spline)                       # [P,R,n,3]
+    radius = cfg.offset + cfg.margin
+    cand = bp.topk_candidates(hull, scene, radius, cfg.max_planes)
+    pts = scene.points[cand.idx]                            # [P,R,K,3]
+
+    def per_seg(h, seg_pts):
+        fit = jax.vmap(
+            lambda q: geo.obstacle_plane(h, q, cfg.offset, cfg.margin, cfg.gjk_iters)
+        )(seg_pts)
+        return fit
+
+    p, r, k, _ = pts.shape
+    fit = jax.vmap(per_seg)(hull.reshape(p * r, -1, 3), pts.reshape(p * r, k, 3))
+    return Planes(
+        c=fit.c.reshape(p, r, k, 3),
+        d=fit.d.reshape(p, r, k),
+        mask=cand.mask & fit.valid.reshape(p, r, k),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: spline Newton + CCD clamp + Armijo (Optimization3D_admm.h:199-557)
+# ---------------------------------------------------------------------------
+
+
+class SplineDirection(NamedTuple):
+    direction: jnp.ndarray   # [T,3]
+    t_direction: jnp.ndarray # []
+    wolfe: jnp.ndarray       # []
+    gnorm: jnp.ndarray       # []
+
+
+def spline_direction(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,
+    planes: Planes,
+) -> SplineDirection:
+    """Reduced Newton direction (Optimization3D_admm.h:400-503)."""
+    g, h = gr.piece_grads_and_hessians(
+        consts, cfg, state.spline, state.piece_time, planes,
+        state.p_slack, state.t_slack, state.p_lambda, state.t_lambda,
+    )
+    red = kkt.assemble_reduced(consts, g, h)
+    ls = kkt.local_solve(red)
+    ds, dt = kkt.finish_direction(ls, ls.schur_s, ls.schur_r)
+    wolfe = -(ds @ red.gs + dt * red.gt)
+    return SplineDirection(
+        direction=kkt.spread_direction(consts, ds),
+        t_direction=dt,
+        wolfe=wolfe,
+        gnorm=ls.gnorm,
+    )
+
+
+def ccd_step(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    spline: jnp.ndarray,
+    direction: jnp.ndarray,
+    scene: Scene,
+) -> jnp.ndarray:
+    """Largest step of the form 0.8^k whose swept control hulls provably keep
+    clearance > offset from all obstacle points (Step::position_step,
+    Step.h:21-110; checking the shrinking interval [0, step] is monotone-safe
+    exactly as in the reference's sequential per-pair shrink loop)."""
+    hull = en.seg_cps(consts, spline)                       # [P,R,n,3]
+    dhull = en.seg_cps(consts, direction)
+    swept_full = geo.swept_hull(hull, dhull, jnp.asarray(1.0, hull.dtype))
+    cand = bp.topk_candidates(swept_full, scene, cfg.offset + 1e-3, cfg.max_ccd_candidates)
+    pts = scene.points[cand.idx]                            # [P,R,K,3]
+
+    p, r, k, _ = pts.shape
+    hull_f = hull.reshape(p * r, -1, 3)
+    dhull_f = dhull.reshape(p * r, -1, 3)
+    pts_f = pts.reshape(p * r, k, 3)
+    mask_f = cand.mask.reshape(p * r, k)
+
+    def any_collision(step):
+        def per_seg(h, d, q, m):
+            clear = jax.vmap(
+                lambda pt: geo.ccd_point_clear(h, d, pt, step, cfg.offset, cfg.gjk_iters)
+            )(q)
+            return jnp.any(m & ~clear)
+
+        return jnp.any(jax.vmap(per_seg)(hull_f, dhull_f, pts_f, mask_f))
+
+    def cond(carry):
+        step, i = carry
+        return (i < cfg.max_line_search) & any_collision(step)
+
+    def body(carry):
+        step, i = carry
+        return step * _SHRINK, i + 1
+
+    step, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1.0, spline.dtype), jnp.asarray(0))
+    )
+    return step
+
+
+def armijo_spline(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,
+    planes: Planes,
+    sd: SplineDirection,
+    step0: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Backtracking line search on the spline AL energy
+    (Optimization3D_admm.h:505-557).  Returns (spline', piece_time', step)."""
+    # time-positivity clamp (Optimization3D_admm.h:521-524)
+    t0, dt = state.piece_time, sd.t_direction
+    step0 = jnp.where(t0 + step0 * dt <= 0, -0.95 * t0 / dt, step0)
+
+    e0 = en.spline_energy(consts, cfg, state, planes).value
+
+    def trial_energy(step):
+        ev = en.spline_energy(
+            consts, cfg, state, planes,
+            spline=state.spline + step * sd.direction,
+            piece_time=t0 + step * dt,
+        )
+        bad = ev.infeasible | jnp.isnan(ev.value)
+        return jnp.where(bad, jnp.inf, ev.value)
+
+    def cond(carry):
+        step, i = carry
+        return (i < cfg.max_line_search) & (
+            e0 - _ARMIJO_C * sd.wolfe * step < trial_energy(step)
+        )
+
+    def body(carry):
+        step, i = carry
+        return step * _SHRINK, i + 1
+
+    step, _ = jax.lax.while_loop(cond, body, (step0, jnp.asarray(0)))
+    return state.spline + step * sd.direction, t0 + step * dt, step
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: slack + dual update (Optimization3D_admm.h:231-398)
+# ---------------------------------------------------------------------------
+
+
+def _slack_freeze_mask(piece_num: int, dtype) -> jnp.ndarray:
+    """[P,19] 1.0 for free local coords; first piece freezes CP rows 0-1,
+    last freezes rows n-1,n (Optimization3D_admm.h:263-307)."""
+    m = jnp.ones((piece_num, gr.N_LOC))
+    m = m.at[0, 0:6].set(0.0)
+    m = m.at[piece_num - 1, 12:18].set(0.0)
+    return m.astype(dtype)
+
+
+def slack_update(
+    consts: SplineConsts, cfg: TrajOptConfig, state: SolverState
+) -> tuple[SolverState, jnp.ndarray]:
+    """Per-piece slack Newton + Armijo + dual ascent, batched over pieces.
+
+    Returns (new_state, consensus_residual) where the residual is
+    sqrt(sum ||C x - z||^2 + (T - t)^2)  (Optimization3D_admm.h:393-397).
+    """
+    p_num = consts.piece_num
+    c_spline = jnp.einsum(
+        "pij,pjd->pid", consts.convert, en.piece_cps(consts, state.spline)
+    )
+    xs = jnp.concatenate(
+        [state.p_slack.reshape(p_num, -1), state.t_slack[:, None]], axis=1
+    )
+
+    def local(x, cs, pl, tl):
+        return gr.local_slack_energy(
+            x, cs, state.piece_time, pl, tl, consts.m_dyn, cfg
+        )
+
+    def one(x, cs, pl, tl):
+        return gr.grad_and_hess(local, x, cs, pl, tl)
+
+    g, h = jax.vmap(one)(xs, c_spline, state.p_lambda, state.t_lambda)
+
+    # Freeze pinned end coords by masking the system: zero their gradient and
+    # replace their Hessian rows/cols with identity, so the reduced solve of
+    # the reference (Optimization3D_admm.h:263-307) becomes shape-uniform.
+    m = _slack_freeze_mask(p_num, xs.dtype)
+    g = g * m
+    h = jnp.where(
+        (m[:, :, None] * m[:, None, :]) > 0,
+        h,
+        jnp.eye(gr.N_LOC, dtype=h.dtype)[None],
+    )
+    h = gr.psd_repair(h)
+
+    d = -jax.vmap(lambda hh, gg: jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(hh), gg))(h, g)
+    d = d * m
+    wolfe = -jnp.sum(d * g, axis=1)                        # [P]
+
+    d_cp = d[:, : 3 * gr.N_CP].reshape(p_num, gr.N_CP, 3)
+    d_t = d[:, 3 * gr.N_CP]
+
+    step = jnp.ones((p_num,), dtype=xs.dtype)
+    step = jnp.where(
+        state.t_slack + step * d_t <= 0, -0.95 * state.t_slack / d_t, step
+    )
+
+    e0 = en.slack_energy(
+        consts, cfg, c_spline, state.piece_time,
+        state.p_slack, state.t_slack, state.p_lambda, state.t_lambda,
+    )
+
+    def trial(step_vec):
+        ev = en.slack_energy(
+            consts, cfg, c_spline, state.piece_time,
+            state.p_slack + step_vec[:, None, None] * d_cp,
+            state.t_slack + step_vec * d_t,
+            state.p_lambda, state.t_lambda,
+        )
+        return jnp.where(jnp.isnan(ev), jnp.inf, ev)
+
+    def cond(carry):
+        step_vec, i = carry
+        bad = e0 - _ARMIJO_C * wolfe * step_vec < trial(step_vec)
+        return (i < cfg.max_line_search) & jnp.any(bad)
+
+    def body(carry):
+        step_vec, i = carry
+        bad = e0 - _ARMIJO_C * wolfe * step_vec < trial(step_vec)
+        return jnp.where(bad, step_vec * _SHRINK, step_vec), i + 1
+
+    step, _ = jax.lax.while_loop(cond, body, (step, jnp.asarray(0)))
+
+    p_slack = state.p_slack + step[:, None, None] * d_cp
+    t_slack = state.t_slack + step * d_t
+    p_lambda = state.p_lambda + cfg.mu * (c_spline - p_slack)
+    t_lambda = state.t_lambda + cfg.mu * (state.piece_time - t_slack)
+    residual = jnp.sqrt(
+        jnp.sum((c_spline - p_slack) ** 2)
+        + jnp.sum((state.piece_time - t_slack) ** 2)
+    )
+    new_state = state._replace(
+        p_slack=p_slack, t_slack=t_slack, p_lambda=p_lambda, t_lambda=t_lambda
+    )
+    return new_state, residual
+
+
+# ---------------------------------------------------------------------------
+# Full iteration
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def admm_step(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,
+    scene: Scene,
+) -> tuple[SolverState, StepDiag]:
+    """One full ADMM iteration (Optimization3D_admm::optimization)."""
+    planes = separate_planes(consts, cfg, state.spline, scene)
+    sd = spline_direction(consts, cfg, state, planes)
+    step_ccd = ccd_step(consts, cfg, state.spline, sd.direction, scene)
+    spline, piece_time, step = armijo_spline(consts, cfg, state, planes, sd, step_ccd)
+    state = state._replace(spline=spline, piece_time=piece_time)
+    state, residual = slack_update(consts, cfg, state)
+    ev = en.spline_energy(consts, cfg, state, planes)
+    diag = StepDiag(
+        gnorm=sd.gnorm,
+        consensus_residual=residual,
+        step=step,
+        ccd_step=step_ccd,
+        n_planes=planes.mask.sum(),
+        energy=ev.value,
+        infeasible=ev.infeasible,
+    )
+    return state, diag

@@ -1,0 +1,134 @@
+"""Outer ADMM loop drivers.
+
+Two modes, matching the measurement protocol of the reference main loop
+(Main/admmPathPlanning3D.cpp:498-547):
+
+* ``solve``      — host-stepped loop (one device->host scalar sync per
+                   iteration) with JSONL-able per-iteration metrics; this is
+                   what the CLI uses.
+* ``solve_fused``— the whole ``while gnorm >= stop`` loop as one
+                   ``lax.while_loop`` on device; this is what the benchmark
+                   uses (zero host round-trips).
+
+Convergence gate: ``iter > 1 and gnorm < stop`` exactly as the reference
+(Main/admmPathPlanning3D.cpp:504).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+import warnings
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrajOptConfig
+from ..types import Scene, SolverState, SplineConsts, StepDiag
+from ..ops import broadphase as bp
+from ..ops import energies as en
+from . import admm
+
+
+def initial_clearance(
+    consts: SplineConsts, state: SolverState, scene: Scene
+) -> float:
+    """Min distance from the initial control hulls to the obstacle cloud.
+
+    The solver (like the reference, whose CCD loop at Step.h:88-100 would spin
+    forever) requires a collision-free initialization with clearance > offset;
+    this is the cheap conservative check (hull AABB vs points) used to warn
+    early instead of stalling silently at step=0.
+    """
+    from ..ops import geometry as geo
+
+    hull = en.seg_cps(consts, state.spline)                 # [P,R,n,3]
+    cand = bp.topk_candidates(hull, scene, radius=jnp.inf, k=8)
+    pts = scene.points[cand.idx]                            # [P,R,8,3]
+    p, r, k, _ = pts.shape
+    hull_f = hull.reshape(p * r, -1, 3)
+    pts_f = pts.reshape(p * r, k, 3)
+
+    def per_seg(h, q):
+        return jax.vmap(lambda pt: geo.point_hull_distance(h, pt, 32).dist)(q)
+
+    d = jax.vmap(per_seg)(hull_f, pts_f)
+    return float(d.min())
+
+
+def solve(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,
+    scene: Scene,
+    max_iters: int | None = None,
+    callback: Callable[[int, StepDiag], None] | None = None,
+    validate_init: bool = True,
+) -> tuple[SolverState, list[dict]]:
+    """Host-driven ADMM loop with per-iteration metrics."""
+    max_iters = max_iters if max_iters is not None else cfg.max_iters
+    if validate_init:
+        clr = initial_clearance(consts, state, scene)
+        if clr <= cfg.offset:
+            warnings.warn(
+                f"initial trajectory clearance {clr:.4f} <= offset "
+                f"{cfg.offset}: the CCD safety clamp will block all motion "
+                "(the solver, like the reference, requires a collision-free "
+                "initialization — use the RRT planner or better waypoints)",
+                stacklevel=2,
+            )
+    history: list[dict] = []
+    it = 0
+    gnorm = np.inf
+    while it < max_iters:
+        if it > 1 and gnorm < cfg.stop:
+            break
+        t0 = time.perf_counter()
+        state, diag = admm.admm_step(consts, cfg, state, scene)
+        gnorm = float(diag.gnorm)
+        rec = {
+            "iter": it,
+            "gnorm": gnorm,
+            "consensus_residual": float(diag.consensus_residual),
+            "step": float(diag.step),
+            "ccd_step": float(diag.ccd_step),
+            "n_planes": int(diag.n_planes),
+            "energy": float(diag.energy),
+            "piece_time": float(state.piece_time),
+            "wall_ms": (time.perf_counter() - t0) * 1e3,
+        }
+        history.append(rec)
+        if callback:
+            callback(it, diag)
+        it += 1
+    return state, history
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iters"))
+def solve_fused(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,
+    scene: Scene,
+    max_iters: int = 200,
+) -> tuple[SolverState, jnp.ndarray, jnp.ndarray]:
+    """Entire solve as one device-side while_loop.
+
+    Returns (state, iterations_run, final_gnorm).
+    """
+
+    def cond(carry):
+        state, it, gnorm = carry
+        return (it < max_iters) & ((it <= 1) | (gnorm >= cfg.stop))
+
+    def body(carry):
+        state, it, gnorm = carry
+        state, diag = admm.admm_step(consts, cfg, state, scene)
+        return state, it + 1, diag.gnorm
+
+    state, it, gnorm = jax.lax.while_loop(
+        cond, body, (state, jnp.asarray(0), jnp.asarray(jnp.inf, state.piece_time.dtype))
+    )
+    return state, it, gnorm
