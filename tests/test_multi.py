@@ -1,0 +1,98 @@
+"""Multi-robot integration: antipodal swap, coupled and decoupled modes.
+
+Mirrors the cross.obj scenario whose start/goal pairs are hard-coded in the
+reference (Main/multiPathPlanning3D.cpp:251-267): robots must trade places,
+which forces inter-robot separating planes and the pairwise CCD clamp.
+Checked property: min pairwise hull clearance at equal trajectory parameter
+stays >= offset (the constraint the reference only inspects visually).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajopt_tpu.config import TrajOptConfig
+from trajopt_tpu import types as tt
+from trajopt_tpu.ops import energies as en
+from trajopt_tpu.ops import geometry as geo
+from trajopt_tpu.ops import splines as sp
+from trajopt_tpu.scenes import generators as gen
+from trajopt_tpu.solver import driver, multi
+
+
+def make_problem(uav_num=2, n_pieces=3, with_obstacles=False):
+    cfg = TrajOptConfig(
+        res=4, max_planes=8, max_self_planes=4, max_ccd_candidates=8, ks=1e-3
+    )
+    # antiparallel passes along x with 0.26 vertical spacing: inside the
+    # self-plane activation band (offset + 2*margin = 0.3) but outside the
+    # hard clearance (offset = 0.1), like the reference's RRT-separated init
+    wps = []
+    for i in range(uav_num):
+        sgn = 1 if i % 2 == 0 else -1
+        s = np.array([sgn * 3.0, 0.12 * (i // 2), 0.26 * i])
+        e = np.array([-sgn * 3.0, 0.12 * (i // 2), 0.26 * i])
+        t = np.linspace(0, 1, n_pieces + 1)[:, None]
+        wps.append(s * (1 - t) + e * t)
+    ops = sp.build_spline_ops(n_pieces, cfg.res)
+    consts = tt.device_consts(ops)
+    if with_obstacles:
+        cloud = gen.sphere_scene(200, radius=0.5, center=(0, 2.0, 0))
+    else:
+        cloud = np.full((8, 3), 100.0)  # far away
+    scene = tt.make_scene(cloud)
+    state = multi.init_multi_state(ops, wps, cfg.init_piece_time)
+    return cfg, ops, consts, scene, state
+
+
+def pairwise_min_clearance(consts, state):
+    """Min hull-hull distance between robots at equal segment index."""
+    hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(state.spline)  # [U,P,R,n,3]
+    u = hulls.shape[0]
+    flat = hulls.reshape(u, -1, hulls.shape[-2], 3)
+    dmin = np.inf
+    for i in range(u):
+        for j in range(i + 1, u):
+            d = jax.vmap(
+                lambda a, b: geo.hull_hull_distance(a, b, 48).dist
+            )(flat[i], flat[j])
+            dmin = min(dmin, float(jnp.min(d)))
+    return dmin
+
+
+@pytest.mark.parametrize("coupled", [False, True])
+def test_two_robot_swap(coupled):
+    cfg, ops, consts, scene, state = make_problem(uav_num=2)
+    assert pairwise_min_clearance(consts, state) < cfg.offset + 2 * cfg.margin
+    state, hist = driver.solve_multi(
+        consts, cfg, state, scene, coupled=coupled, max_iters=80
+    )
+    gnorm = hist[-1]["gnorm"]
+    assert gnorm < cfg.stop, f"no convergence: tail {[h['gnorm'] for h in hist[-5:]]}"
+    clearance = pairwise_min_clearance(consts, state)
+    assert clearance > cfg.offset - 1e-6, f"clearance {clearance}"
+    assert (np.asarray(state.piece_time) > 0).all()
+    if coupled:
+        # shared time stays identical across robots
+        np.testing.assert_allclose(
+            np.asarray(state.piece_time), float(state.piece_time[0])
+        )
+
+
+def test_decoupled_with_obstacles():
+    cfg, ops, consts, scene, state = make_problem(uav_num=2, with_obstacles=True)
+    state, hist = driver.solve_multi(
+        consts, cfg, state, scene, coupled=False, max_iters=80
+    )
+    assert hist[-1]["gnorm"] < cfg.stop
+    assert pairwise_min_clearance(consts, state) > cfg.offset - 1e-6
+
+
+def test_four_robots_coupled():
+    cfg, ops, consts, scene, state = make_problem(uav_num=4)
+    state, hist = driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=100
+    )
+    assert hist[-1]["gnorm"] < cfg.stop
+    assert pairwise_min_clearance(consts, state) > cfg.offset - 1e-6

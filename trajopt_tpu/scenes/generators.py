@@ -89,13 +89,44 @@ def bridge_scene(
     return cloud, way_points
 
 
-def cross_waypoints(uav_num: int = 4, n_pieces: int = 4) -> np.ndarray:
-    """[U, n_pieces+1, 3] straight-line waypoint sets for the antipodal swap.
+def cross_waypoints(
+    uav_num: int = 4, n_pieces: int = 4, bulge: float = 1.5
+) -> np.ndarray:
+    """See `_cross_waypoints_cluster`.  For more than 12 robots the swap is
+    tiled as independent 8-robot crossing clusters on a 15-spaced grid —
+    keeping every cluster's interior crossing feasible while preserving the
+    many-robot compute/communication pattern of the 16-64 robot benchmark
+    configs."""
+    if uav_num <= 12:
+        return _cross_waypoints_cluster(uav_num, n_pieces, bulge)
+    clusters = []
+    remaining = uav_num
+    k = 0
+    while remaining > 0:
+        take = min(8, remaining)
+        grid = np.array([(k % 4) * 40.0, (k // 4) * 40.0, 0.0])
+        clusters.append(_cross_waypoints_cluster(take, n_pieces, bulge) + grid)
+        remaining -= take
+        k += 1
+    return np.concatenate(clusters, axis=0)
+
+
+def _cross_waypoints_cluster(
+    uav_num: int = 4, n_pieces: int = 4, bulge: float = 1.5
+) -> np.ndarray:
+    """[U, n_pieces+1, 3] waypoint sets for the antipodal swap.
 
     The first four start/goal pairs are exactly the hard-coded ones of
     `Main/multiPathPlanning3D.cpp:251-267` scaled by 5 (the multi main scales
     scene and waypoints by 5, multiPathPlanning3D.cpp:107,536); additional
     robots are placed on a circle with antipodal goals.
+
+    Straight connecting lines would make crossing robots *coincide* at equal
+    trajectory parameter (pairs 2/3 meet exactly at the center) — an
+    infeasible initialization the reference never sees because its sequential
+    RRT init avoids earlier robots' paths (OMPL.cpp:82-92).  We reproduce that
+    property analytically: each robot's path bulges sideways by ``bulge`` in a
+    per-robot direction, giving every robot its own "lane" through the center.
     """
     starts, ends = [], []
     base = [
@@ -115,9 +146,22 @@ def cross_waypoints(uav_num: int = 4, n_pieces: int = 4) -> np.ndarray:
         starts.append(s)
         ends.append(-s + np.array([0, 0, 2 * 2.5 * z]))
     wps = []
-    for s, e in zip(starts, ends):
+    for i, (s, e) in enumerate(zip(starts, ends)):
         t = np.linspace(0.0, 1.0, n_pieces + 1)[:, None]
-        wps.append(s * (1 - t) + e * t)
+        line = s * (1 - t) + e * t
+        d = e - s
+        d = d / max(np.linalg.norm(d), 1e-9)
+        p1 = np.cross(d, [0.0, 0.0, 1.0])
+        if np.linalg.norm(p1) < 1e-6:
+            p1 = np.cross(d, [0.0, 1.0, 0.0])
+        p1 /= np.linalg.norm(p1)
+        p2 = np.cross(d, p1)
+        theta = 2.0 * np.pi * i / max(uav_num, 1)
+        n_rings = max(4, -(-uav_num // 12))     # <=12 lanes per ring
+        radius = bulge * (1.0 + 0.7 * (i % n_rings))
+        lateral = radius * (np.cos(theta) * p1 + np.sin(theta) * p2)
+        line = line + np.sin(np.pi * t) * lateral[None, :]
+        wps.append(line)
     return np.stack(wps)
 
 

@@ -106,6 +106,45 @@ def solve(
     return state, history
 
 
+def solve_multi(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,          # leading robot axis U on all leaves
+    scene: Scene,
+    coupled: bool | None = None,
+    max_iters: int | None = None,
+) -> tuple[SolverState, list[dict]]:
+    """Host-driven multi-robot loop (coupled defaults to ``not cfg.decouple``,
+    the reference's mode switch, Main/multiPathPlanning3D.cpp:664-678)."""
+    from . import multi as multi_mod
+
+    coupled = (not cfg.decouple) if coupled is None else coupled
+    max_iters = max_iters if max_iters is not None else cfg.max_iters
+    history: list[dict] = []
+    it, gnorm = 0, np.inf
+    while it < max_iters:
+        if it > 1 and gnorm < cfg.stop:
+            break
+        t0 = time.perf_counter()
+        state, diag = multi_mod.multi_admm_step_jit(consts, cfg, state, scene, coupled)
+        gnorm = float(diag.gnorm)
+        history.append(
+            {
+                "iter": it,
+                "gnorm": gnorm,
+                "consensus_residual": float(diag.consensus_residual),
+                "step": float(diag.step),
+                "ccd_step": float(diag.ccd_step),
+                "n_planes": int(diag.n_planes),
+                "energy": float(diag.energy),
+                "piece_time": float(jnp.max(state.piece_time)),
+                "wall_ms": (time.perf_counter() - t0) * 1e3,
+            }
+        )
+        it += 1
+    return state, history
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_iters"))
 def solve_fused(
     consts: SplineConsts,

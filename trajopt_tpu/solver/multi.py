@@ -1,0 +1,482 @@
+"""Multi-robot consensus ADMM: decoupled and coupled-time modes.
+
+TPU-native re-architecture of `Optimization3D_multi`
+(Optimization3D_multi.h:29-174).  The robot axis is a batch axis (vmap on one
+chip) that becomes a sharded mesh axis under `shard_map`
+(see `trajopt_tpu.parallel`).  Cross-robot coupling is isolated to four
+communication points, each parameterized by an optional ``axis_name``:
+
+1. inter-robot separating planes need all robots' hulls   -> all_gather
+2. the shared-time Schur scalars (coupled mode)           -> psum
+3. the joint CCD step / joint Armijo energy (coupled)     -> psum / pmin
+4. gnorm aggregation                                       -> psum
+
+With ``axis_name=None`` everything runs on the local robot axis — identical
+math, one chip.
+
+State convention: a `SolverState` whose leaves carry a leading robot axis U;
+``piece_time`` has shape [U] in both modes (coupled keeps all entries equal —
+one scalar per the reference's shared `piece_time`,
+Optimization3D_multi.h:120).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrajOptConfig
+from ..types import Planes, Scene, SolverState, SplineConsts, StepDiag, concat_planes
+from ..ops import broadphase as bp
+from ..ops import energies as en
+from ..ops import geometry as geo
+from ..ops import gradients as gr
+from ..ops import kkt
+from . import admm
+
+_SHRINK = admm._SHRINK
+_ARMIJO_C = admm._ARMIJO_C
+
+
+def _gsum(x, axis_name):
+    s = jnp.sum(x)
+    return jax.lax.psum(s, axis_name) if axis_name else s
+
+
+def _gany(x, axis_name):
+    a = jnp.any(x)
+    return jax.lax.psum(a.astype(jnp.int32), axis_name) > 0 if axis_name else a
+
+
+def _gmin(x, axis_name):
+    m = jnp.min(x)
+    return jax.lax.pmin(m, axis_name) if axis_name else m
+
+
+def _gather_robots(x, axis_name):
+    """[U_local, ...] -> [U_total, ...] (identity without an axis name)."""
+    return jax.lax.all_gather(x, axis_name, axis=0, tiled=True) if axis_name else x
+
+
+def _robot_offset(u_local: int, axis_name) -> jnp.ndarray:
+    if axis_name is None:
+        return jnp.asarray(0, jnp.int32)
+    return (jax.lax.axis_index(axis_name) * u_local).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Inter-robot separating planes (Optimization3D_multi.h:237-342)
+# ---------------------------------------------------------------------------
+
+
+def self_planes(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    splines: jnp.ndarray,          # [U,T,3] local robots
+    axis_name: str | None = None,
+) -> Planes:
+    """Per-robot plane tables against every other robot's segment hull.
+
+    Each robot computes its own side of each pair plane (the symmetric
+    formula of Separate::selfgjk + Optimal_plane::optimal_d makes the two
+    sides consistent), so the only communication is one hull all_gather.
+    """
+    u_local = splines.shape[0]
+    my_hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)   # [U,P,R,n,3]
+    all_hulls = _gather_robots(my_hulls, axis_name)                 # [Ut,P,R,n,3]
+    u_total = all_hulls.shape[0]
+    ks = min(cfg.max_self_planes, max(u_total - 1, 1))
+    radius = cfg.offset + 2 * cfg.margin
+
+    lo_a, hi_a = bp.hull_aabbs(my_hulls)                            # [U,P,R,3]
+    lo_b, hi_b = bp.hull_aabbs(all_hulls)                           # [Ut,P,R,3]
+    gap = jnp.maximum(
+        lo_a[:, None] - hi_b[None], jnp.maximum(lo_b[None] - hi_a[:, None], 0.0)
+    )                                                               # [U,Ut,P,R,3]
+    d2 = jnp.sum(gap * gap, axis=-1)                                # [U,Ut,P,R]
+    gids = _robot_offset(u_local, axis_name) + jnp.arange(u_local, dtype=jnp.int32)
+    is_self = gids[:, None] == jnp.arange(u_total, dtype=jnp.int32)[None, :]
+    d2 = jnp.where(is_self[:, :, None, None], jnp.inf, d2)
+    d2 = jnp.moveaxis(d2, 1, -1)                                    # [U,P,R,Ut]
+    neg, idx = jax.lax.top_k(-d2, ks)                               # [U,P,R,ks]
+    cand_mask = (-neg) <= radius * radius
+
+    # idx [U,P,R,ks] selects the partner robot; other_hulls: [U,P,R,ks,n,3]
+    other_hulls = jnp.take_along_axis(
+        jnp.broadcast_to(
+            jnp.moveaxis(all_hulls, 0, 2)[None],                    # [1,P,R,Ut,n,3]
+            (u_local,) + jnp.moveaxis(all_hulls, 0, 2).shape,
+        ),
+        idx[..., None, None],
+        axis=3,
+    )
+
+    def fit_one(h_mine, h_other):
+        return geo.pair_plane(
+            h_mine, h_other, cfg.offset, cfg.margin, cfg.gjk_iters
+        )
+
+    flat_mine = jnp.broadcast_to(
+        my_hulls[:, :, :, None], other_hulls.shape
+    ).reshape(-1, consts.n_cp, 3)
+    flat_other = other_hulls.reshape(-1, consts.n_cp, 3)
+    fit = jax.vmap(fit_one)(flat_mine, flat_other)
+    shape = idx.shape
+    return Planes(
+        c=fit.c.reshape(*shape, 3),
+        d=fit.d.reshape(shape) - 0.5 * cfg.offset,
+        mask=cand_mask & fit.valid.reshape(shape),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCD steps
+# ---------------------------------------------------------------------------
+
+
+def _obstacle_ccd_tables(consts, cfg, splines, directions, scene):
+    """Per-robot fixed-K CCD candidate tables at the full direction."""
+    def per_robot(s, d):
+        hull = en.seg_cps(consts, s)
+        dhull = en.seg_cps(consts, d)
+        swept = geo.swept_hull(hull, dhull, jnp.asarray(1.0, s.dtype))
+        cand = bp.topk_candidates(swept, scene, cfg.offset + 1e-3, cfg.max_ccd_candidates)
+        return hull, dhull, scene.points[cand.idx], cand.mask
+
+    return jax.vmap(per_robot)(splines, directions)
+
+
+def _obstacle_collision(cfg, hulls, dhulls, pts, masks, steps):
+    """[U] bool: any obstacle CCD violation per robot at that robot's step."""
+    u = hulls.shape[0]
+    hf = hulls.reshape(u, -1, hulls.shape[-2], 3)
+    df = dhulls.reshape(u, -1, hulls.shape[-2], 3)
+    pf = pts.reshape(u, hf.shape[1], -1, 3)
+    mf = masks.reshape(u, hf.shape[1], -1)
+
+    def per_robot(h, d, q, m, step):
+        def per_seg(hh, dd, qq, mm):
+            clear = jax.vmap(
+                lambda pt: geo.ccd_point_clear(hh, dd, pt, step, cfg.offset, cfg.gjk_iters)
+            )(qq)
+            return jnp.any(mm & ~clear)
+
+        return jnp.any(jax.vmap(per_seg)(h, d, q, m))
+
+    return jax.vmap(per_robot)(hf, df, pf, mf, steps)
+
+
+class _SelfCCDTables(NamedTuple):
+    my_hulls: jnp.ndarray     # [U,P,R,n,3]
+    my_dhulls: jnp.ndarray
+    other_hulls: jnp.ndarray  # [U,P,R,Ks,n,3]
+    other_dhulls: jnp.ndarray
+    other_ids: jnp.ndarray    # [U,P,R,Ks] global robot id
+    mask: jnp.ndarray         # [U,P,R,Ks]
+
+
+def _self_ccd_tables(consts, cfg, splines, directions, axis_name):
+    """Candidate robot pairs for CCD using swept-hull AABBs at full step."""
+    u_local = splines.shape[0]
+    my_hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)
+    my_dhulls = jax.vmap(lambda s: en.seg_cps(consts, s))(directions)
+    swept = geo.swept_hull(my_hulls, my_dhulls, jnp.asarray(1.0, splines.dtype))
+    all_swept = _gather_robots(swept, axis_name)
+    all_hulls = _gather_robots(my_hulls, axis_name)
+    all_dhulls = _gather_robots(my_dhulls, axis_name)
+    u_total = all_swept.shape[0]
+    ks = min(cfg.max_self_planes, max(u_total - 1, 1))
+
+    lo_a, hi_a = bp.hull_aabbs(swept)
+    lo_b, hi_b = bp.hull_aabbs(all_swept)
+    gap = jnp.maximum(
+        lo_a[:, None] - hi_b[None], jnp.maximum(lo_b[None] - hi_a[:, None], 0.0)
+    )
+    d2 = jnp.sum(gap * gap, axis=-1)                                # [U,Ut,P,R]
+    gids = _robot_offset(u_local, axis_name) + jnp.arange(u_local, dtype=jnp.int32)
+    is_self = gids[:, None] == jnp.arange(u_total, dtype=jnp.int32)[None, :]
+    d2 = jnp.where(is_self[:, :, None, None], jnp.inf, d2)
+    d2 = jnp.moveaxis(d2, 1, -1)                                    # [U,P,R,Ut]
+    radius = cfg.offset + 1e-3
+    neg, idx = jax.lax.top_k(-d2, ks)
+    mask = (-neg) <= radius * radius
+
+    def gather_other(arr):
+        # arr [Ut,P,R,n,3] -> [U,P,R,ks,n,3] via idx
+        moved = jnp.moveaxis(arr, 0, 2)                             # [P,R,Ut,n,3]
+        return jnp.take_along_axis(
+            jnp.broadcast_to(moved[None], (u_local,) + moved.shape),
+            idx[..., None, None],
+            axis=3,
+        )
+
+    return _SelfCCDTables(
+        my_hulls=my_hulls,
+        my_dhulls=my_dhulls,
+        other_hulls=gather_other(all_hulls),
+        other_dhulls=gather_other(all_dhulls),
+        other_ids=idx.astype(jnp.int32),
+        mask=mask,
+    )
+
+
+def _self_collision(cfg, tabs: _SelfCCDTables, my_steps, all_steps):
+    """[U] bool: any pairwise CCD violation involving each local robot, with
+    per-robot step intervals ([0,s_i] vs [0,s_j], Step::self_step semantics)."""
+    other_steps = all_steps[tabs.other_ids]                         # [U,P,R,Ks]
+    u, p, r, ks = tabs.mask.shape
+    n = tabs.my_hulls.shape[-2]
+    mh = tabs.my_hulls.reshape(u, p * r, n, 3)
+    md = tabs.my_dhulls.reshape(u, p * r, n, 3)
+    oh = tabs.other_hulls.reshape(u, p * r, ks, n, 3)
+    od = tabs.other_dhulls.reshape(u, p * r, ks, n, 3)
+    osteps = other_steps.reshape(u, p * r, ks)
+    mask = tabs.mask.reshape(u, p * r, ks)
+
+    def per_robot(h, d, ohh, odd, ss, mm, s):
+        def per_seg(h1, d1, oh1, od1, ss1, mm1):
+            def per_cand(o_h, o_d, o_s):
+                sa = geo.swept_hull(h1, d1, s)
+                sb = geo.swept_hull(o_h, o_d, o_s)
+                return geo.hull_hull_distance(sa, sb, cfg.gjk_iters).lb > cfg.offset
+
+            clear = jax.vmap(per_cand)(oh1, od1, ss1)
+            return jnp.any(mm1 & ~clear)
+
+        return jnp.any(jax.vmap(per_seg)(h, d, ohh, odd, ss, mm))
+
+    return jax.vmap(per_robot)(mh, md, oh, od, osteps, mask, my_steps)
+
+
+def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
+    """One fleet-wide scalar step (Step::couple_self_step + per-robot
+    position_step min-reduce, Optimization3D_multi.h:586-594)."""
+    hulls, dhulls, pts, masks = _obstacle_ccd_tables(consts, cfg, splines, directions, scene)
+    tabs = _self_ccd_tables(consts, cfg, splines, directions, axis_name)
+    u = splines.shape[0]
+
+    def collides(step):
+        steps = jnp.full((u,), step, dtype=splines.dtype)
+        all_steps_t = _gather_robots(steps, axis_name)
+        obs = _obstacle_collision(cfg, hulls, dhulls, pts, masks, steps)
+        slf = _self_collision(cfg, tabs, steps, all_steps_t)
+        return _gany(obs | slf, axis_name)
+
+    def cond(carry):
+        step, i = carry
+        return (i < cfg.max_line_search) & collides(step)
+
+    def body(carry):
+        step, i = carry
+        return step * _SHRINK, i + 1
+
+    step, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1.0, splines.dtype), jnp.asarray(0))
+    )
+    return step
+
+
+def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
+    """Per-robot steps: pairwise self-shrink then obstacle min
+    (Optimization3D_multi.h:74-83)."""
+    u = splines.shape[0]
+    hulls, dhulls, pts, masks = _obstacle_ccd_tables(consts, cfg, splines, directions, scene)
+    tabs = _self_ccd_tables(consts, cfg, splines, directions, axis_name)
+
+    def cond(carry):
+        steps, i = carry
+        all_steps = _gather_robots(steps, axis_name)
+        bad = _self_collision(cfg, tabs, steps, all_steps)
+        return (i < cfg.max_line_search) & _gany(bad, axis_name)
+
+    def body(carry):
+        steps, i = carry
+        all_steps = _gather_robots(steps, axis_name)
+        bad = _self_collision(cfg, tabs, steps, all_steps)
+        return jnp.where(bad, steps * _SHRINK, steps), i + 1
+
+    steps, _ = jax.lax.while_loop(
+        cond, body, (jnp.ones((u,), splines.dtype), jnp.asarray(0))
+    )
+
+    def obs_cond(carry):
+        s, i = carry
+        return (i < cfg.max_line_search) & jnp.any(
+            _obstacle_collision(cfg, hulls, dhulls, pts, masks, s)
+        )
+
+    def obs_body(carry):
+        s, i = carry
+        bad = _obstacle_collision(cfg, hulls, dhulls, pts, masks, s)
+        return jnp.where(bad, s * _SHRINK, s), i + 1
+
+    obs_steps, _ = jax.lax.while_loop(
+        obs_cond, obs_body, (jnp.ones((u,), splines.dtype), jnp.asarray(0))
+    )
+    return jnp.minimum(steps, obs_steps)
+
+
+# ---------------------------------------------------------------------------
+# Full iterations
+# ---------------------------------------------------------------------------
+
+
+def _all_planes(consts, cfg, state, scene, axis_name):
+    obstacle = jax.vmap(lambda s: admm.separate_planes(consts, cfg, s, scene))(
+        state.spline
+    )
+    if state.spline.shape[0] > 1 or axis_name is not None:
+        slf = self_planes(consts, cfg, state.spline, axis_name)
+        return jax.vmap(concat_planes)(obstacle, slf)
+    return obstacle
+
+
+def _directions(consts, cfg, state, planes):
+    """Per-robot reduced KKT solves (vmapped)."""
+    def one(st, pl):
+        g, h = gr.piece_grads_and_hessians(
+            consts, cfg, st.spline, st.piece_time, pl,
+            st.p_slack, st.t_slack, st.p_lambda, st.t_lambda,
+        )
+        red = kkt.assemble_reduced(consts, g, h)
+        return kkt.local_solve(red), red
+
+    return jax.vmap(one)(state, planes)
+
+
+def multi_admm_step(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,          # leaves have leading robot axis U
+    scene: Scene,
+    coupled: bool,
+    axis_name: str | None = None,
+) -> tuple[SolverState, StepDiag]:
+    """One multi-robot ADMM iteration (coupled: Optimization3D_multi.h:120-174;
+    decoupled: :29-118)."""
+    u = state.spline.shape[0]
+    u_total = u * (jax.lax.psum(1, axis_name) if axis_name else 1)
+    planes = _all_planes(consts, cfg, state, scene, axis_name)
+    ls, red = _directions(consts, cfg, state, planes)
+
+    if coupled:
+        s_tot = _gsum(ls.schur_s, axis_name)
+        r_tot = _gsum(ls.schur_r, axis_name)
+        ds, dt = jax.vmap(
+            lambda l: kkt.finish_direction(l, s_tot, r_tot)
+        )(ls)
+        directions = jax.vmap(lambda d: kkt.spread_direction(consts, d))(ds)
+        wolfe = -( _gsum(jnp.einsum("ui,ui->u", ds, red.gs), axis_name)
+                   + dt[0] * _gsum(red.gt, axis_name))
+        gnorm = jnp.sqrt(
+            _gsum(jnp.sum(red.gs**2, axis=1), axis_name)
+            + _gsum(red.gt, axis_name) ** 2
+        ) / u_total
+
+        step0 = coupled_ccd_step(consts, cfg, state.spline, directions, scene, axis_name)
+        # shared-time positivity clamp (single scalar time)
+        t0 = state.piece_time[0]
+        step0 = jnp.where(t0 + step0 * dt[0] <= 0, -0.95 * t0 / dt[0], step0)
+
+        def total_energy(step):
+            def per_robot(st, pl, d):
+                ev = en.spline_energy(
+                    consts, cfg, st, pl,
+                    spline=st.spline + step * d,
+                    piece_time=st.piece_time + step * dt[0],
+                )
+                return jnp.where(ev.infeasible | jnp.isnan(ev.value), jnp.inf, ev.value)
+
+            return _gsum(jax.vmap(per_robot)(state, planes, directions), axis_name)
+
+        e0 = total_energy(jnp.asarray(0.0, t0.dtype))
+
+        def cond(carry):
+            step, i = carry
+            return (i < cfg.max_line_search) & (
+                e0 - _ARMIJO_C * wolfe * step < total_energy(step)
+            )
+
+        def body(carry):
+            step, i = carry
+            return step * _SHRINK, i + 1
+
+        step, _ = jax.lax.while_loop(cond, body, (step0, jnp.asarray(0)))
+        spline = state.spline + step * directions
+        piece_time = state.piece_time + step * dt[0]
+        steps = jnp.full((u,), step, dtype=step.dtype)
+        ccd_steps = jnp.full((u,), step0, dtype=step.dtype)
+    else:
+        ds, dt = jax.vmap(
+            lambda l: kkt.finish_direction(l, l.schur_s, l.schur_r)
+        )(ls)
+        directions = jax.vmap(lambda d: kkt.spread_direction(consts, d))(ds)
+        wolfe = -(jnp.einsum("ui,ui->u", ds, red.gs) + dt * red.gt)   # [U]
+        gnorm = _gsum(ls.gnorm, axis_name) / u_total
+
+        ccd_steps = decoupled_ccd_steps(
+            consts, cfg, state.spline, directions, scene, axis_name
+        )
+        step0 = jnp.where(
+            state.piece_time + ccd_steps * dt <= 0,
+            -0.95 * state.piece_time / dt,
+            ccd_steps,
+        )
+
+        def per_robot_energy(step_vec):
+            def one(st, pl, d, s, dtt):
+                ev = en.spline_energy(
+                    consts, cfg, st, pl,
+                    spline=st.spline + s * d,
+                    piece_time=st.piece_time + s * dtt,
+                )
+                return jnp.where(ev.infeasible | jnp.isnan(ev.value), jnp.inf, ev.value)
+
+            return jax.vmap(one)(state, planes, directions, step_vec, dt)
+
+        e0 = per_robot_energy(jnp.zeros((u,), state.spline.dtype))
+
+        def cond(carry):
+            step_vec, i = carry
+            bad = e0 - _ARMIJO_C * wolfe * step_vec < per_robot_energy(step_vec)
+            return (i < cfg.max_line_search) & jnp.any(bad)
+
+        def body(carry):
+            step_vec, i = carry
+            bad = e0 - _ARMIJO_C * wolfe * step_vec < per_robot_energy(step_vec)
+            return jnp.where(bad, step_vec * _SHRINK, step_vec), i + 1
+
+        steps, _ = jax.lax.while_loop(cond, body, (step0, jnp.asarray(0)))
+        spline = state.spline + steps[:, None, None] * directions
+        piece_time = state.piece_time + steps * dt
+
+    state = state._replace(spline=spline, piece_time=piece_time)
+    state, residual = jax.vmap(lambda st: admm.slack_update(consts, cfg, st))(state)
+    ev = jax.vmap(lambda st, pl: en.spline_energy(consts, cfg, st, pl))(state, planes)
+    diag = StepDiag(
+        gnorm=gnorm,
+        consensus_residual=jnp.sqrt(_gsum(residual**2, axis_name)),
+        step=jnp.min(steps),
+        ccd_step=jnp.min(ccd_steps),
+        n_planes=_gsum(planes.mask.sum(), axis_name),
+        energy=_gsum(ev.value, axis_name),
+        infeasible=_gany(ev.infeasible, axis_name),
+    )
+    return state, diag
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "coupled"))
+def multi_admm_step_jit(consts, cfg, state, scene, coupled):
+    return multi_admm_step(consts, cfg, state, scene, coupled, axis_name=None)
+
+
+def init_multi_state(ops, way_points_list, init_piece_time: float = 20.0, dtype=None):
+    """Stack per-robot initial states (multi init_variable,
+    Main/multiPathPlanning3D.cpp:342-467)."""
+    from ..types import init_state
+
+    states = [init_state(ops, wp, init_piece_time, dtype) for wp in way_points_list]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)

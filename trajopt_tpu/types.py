@@ -165,7 +165,9 @@ def init_state(
     p = ops.piece_num
     return SolverState(
         spline=jnp.asarray(spline, dtype=dtype),
-        piece_time=jnp.asarray(init_piece_time, dtype=dtype),
+        # np scalar => strongly-typed array, so the first admm_step output has
+        # identical avals and the jit cache hits from call one
+        piece_time=jnp.asarray(np.float64(init_piece_time), dtype=dtype),
         p_slack=jnp.asarray(p_slack, dtype=dtype),
         t_slack=jnp.full((p,), init_piece_time, dtype=dtype),
         p_lambda=jnp.zeros((p, ops.order + 1, 3), dtype=dtype),
