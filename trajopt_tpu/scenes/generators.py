@@ -111,6 +111,70 @@ def cross_waypoints(
     return np.concatenate(clusters, axis=0)
 
 
+def _polyline_samples(wp: np.ndarray, n: int = 400) -> np.ndarray:
+    ts = np.linspace(0.0, 1.0, n)
+    seg = np.minimum((ts * (len(wp) - 1)).astype(int), len(wp) - 2)
+    loc = ts * (len(wp) - 1) - seg
+    return wp[seg] * (1 - loc[:, None]) + wp[seg + 1] * loc[:, None]
+
+
+def assign_lanes(
+    wps: np.ndarray,
+    cloud: np.ndarray | None,
+    min_obstacle: float = 0.5,
+    min_pairwise: float = 0.5,
+    max_radius: float = 8.0,
+) -> np.ndarray:
+    """Greedy per-robot lane selection, the analytic stand-in for the
+    reference's sequential RRT init (each robot's path avoids the scene and
+    all earlier robots' paths, OMPL.cpp:82-92).
+
+    ``wps``: [U, W, 3] straight/bulged waypoint polylines from
+    `cross_waypoints`-style generators; each robot's interior waypoints are
+    re-bulged along its horizontal perpendicular with the first radius whose
+    sampled path clears the cloud and all previously assigned robots at equal
+    trajectory parameter.
+    """
+    wps = np.array(wps, dtype=float, copy=True)
+    u = wps.shape[0]
+    t = np.linspace(0.0, 1.0, wps.shape[1])[:, None]
+    chosen: list[np.ndarray] = []
+    for i in range(u):
+        s, e = wps[i, 0], wps[i, -1]
+        d = e - s
+        d /= max(np.linalg.norm(d), 1e-9)
+        p1 = np.cross(d, [0.0, 0.0, 1.0])
+        if np.linalg.norm(p1) < 1e-6:
+            p1 = np.cross(d, [0.0, 1.0, 0.0])
+        p1 /= np.linalg.norm(p1)
+        line = s * (1 - t) + e * t
+
+        best, best_score = None, -np.inf
+        radii = [0.0] + [
+            sgn * r
+            for r in np.arange(1.6, max_radius, 0.4)
+            for sgn in ((1, -1) if i % 2 == 0 else (-1, 1))
+        ]
+        for r in radii:
+            cand = line + np.sin(np.pi * t) * (r * p1)[None, :]
+            path = _polyline_samples(cand)
+            score = np.inf
+            if cloud is not None and len(cloud):
+                oc = np.linalg.norm(path[:, None] - cloud[None], axis=-1).min()
+                score = min(score, oc - min_obstacle)
+            for prev in chosen:
+                pc = np.linalg.norm(path - prev, axis=1).min()
+                score = min(score, pc - min_pairwise)
+            if score >= 0:
+                best = cand
+                break
+            if score > best_score:
+                best, best_score = cand, score
+        wps[i] = best
+        chosen.append(_polyline_samples(best))
+    return wps
+
+
 def _cross_waypoints_cluster(
     uav_num: int = 4, n_pieces: int = 4, bulge: float = 1.5
 ) -> np.ndarray:
@@ -151,16 +215,15 @@ def _cross_waypoints_cluster(
         line = s * (1 - t) + e * t
         d = e - s
         d = d / max(np.linalg.norm(d), 1e-9)
+        # horizontal perpendicular only: lanes stay clear of the central
+        # obstacle column in xy and never dive vertically into it
         p1 = np.cross(d, [0.0, 0.0, 1.0])
         if np.linalg.norm(p1) < 1e-6:
             p1 = np.cross(d, [0.0, 1.0, 0.0])
         p1 /= np.linalg.norm(p1)
-        p2 = np.cross(d, p1)
-        theta = 2.0 * np.pi * i / max(uav_num, 1)
-        n_rings = max(4, -(-uav_num // 12))     # <=12 lanes per ring
-        radius = bulge * (1.0 + 0.7 * (i % n_rings))
-        lateral = radius * (np.cos(theta) * p1 + np.sin(theta) * p2)
-        line = line + np.sin(np.pi * t) * lateral[None, :]
+        # unique signed magnitude per robot => pairwise-distinct lanes
+        radius = (-1.0) ** i * (bulge + 0.45 * bulge / 1.5 * i + 0.55)
+        line = line + np.sin(np.pi * t) * (radius * p1)[None, :]
         wps.append(line)
     return np.stack(wps)
 
@@ -168,8 +231,10 @@ def _cross_waypoints_cluster(
 def cross_scene(
     n_points: int = 5000, seed: int = 0
 ) -> np.ndarray:
-    """Central obstacle cluster for the cross-swap scene (column + ring),
-    scaled like the x5 multi scenes."""
+    """Central obstacle cluster for the cross-swap scene: a tall column at the
+    origin ringed by discrete pillars with navigable gaps between them (solid
+    geometry would make the antipodal crossing infeasible), scaled like the
+    x5 multi scenes."""
     rng = np.random.default_rng(seed)
     n_col = n_points // 2
     col = np.stack(
@@ -180,11 +245,20 @@ def cross_scene(
         ],
         axis=1,
     )
-    n_ring = n_points - n_col
-    ang = rng.uniform(0, 2 * np.pi, n_ring)
-    rad = rng.uniform(4.0, 5.0, n_ring)
-    ring = np.stack(
-        [rad * np.cos(ang), rad * np.sin(ang), rng.uniform(-1.0, 1.0, n_ring)],
-        axis=1,
-    )
-    return np.concatenate([col, ring], axis=0)
+    n_pillar = (n_points - n_col) // 6
+    pillars = []
+    for k in range(6):
+        ang = np.pi / 6 + k * np.pi / 3
+        cx, cy = 6.5 * np.cos(ang), 6.5 * np.sin(ang)
+        m = n_pillar if k < 5 else (n_points - n_col - 5 * n_pillar)
+        pillars.append(
+            np.stack(
+                [
+                    cx + rng.uniform(-0.4, 0.4, m),
+                    cy + rng.uniform(-0.4, 0.4, m),
+                    rng.uniform(-3.0, 3.0, m),
+                ],
+                axis=1,
+            )
+        )
+    return np.concatenate([col] + pillars, axis=0)

@@ -84,7 +84,18 @@ def spline_direction(
     red = kkt.assemble_reduced(consts, g, h)
     ls = kkt.local_solve(red)
     ds, dt = kkt.finish_direction(ls, ls.schur_s, ls.schur_r)
+    # one iterative-refinement round + descent guard (see kkt.correct_direction)
+    rs, rt, ainv_rs = kkt.correct_direction(red, ls, ds, dt)
+    s_safe = jnp.maximum(ls.schur_s, 1e-5 * jnp.maximum(jnp.abs(ls.schur_s), 1.0))
+    cdt = -(rt - red.b @ ainv_rs) / s_safe
+    ds = ds + (-ainv_rs - cdt * ls.ainv_b)
+    dt = dt + cdt
     wolfe = -(ds @ red.gs + dt * red.gt)
+    finite = jnp.isfinite(wolfe) & jnp.all(jnp.isfinite(ds)) & jnp.isfinite(dt)
+    bad = ~finite | ~(wolfe > 0)
+    ds = jnp.where(bad, -red.gs, ds)
+    dt = jnp.where(bad, -red.gt, dt)
+    wolfe = jnp.where(bad, jnp.sum(red.gs**2) + red.gt**2, wolfe)
     return SplineDirection(
         direction=kkt.spread_direction(consts, ds),
         t_direction=dt,
@@ -234,6 +245,10 @@ def slack_update(
         jax.scipy.linalg.cho_factor(hh), gg))(h, g)
     d = d * m
     wolfe = -jnp.sum(d * g, axis=1)                        # [P]
+    # NaN-proof steepest-descent fallback per piece (see spline_direction)
+    bad = ~(jnp.all(jnp.isfinite(d), axis=1) & (wolfe > 0))
+    d = jnp.where(bad[:, None], -g, d)
+    wolfe = jnp.where(bad, jnp.sum(g * g, axis=1), wolfe)
 
     d_cp = d[:, : 3 * gr.N_CP].reshape(p_num, gr.N_CP, 3)
     d_t = d[:, 3 * gr.N_CP]
@@ -296,6 +311,13 @@ def admm_step(
     scene: Scene,
 ) -> tuple[SolverState, StepDiag]:
     """One full ADMM iteration (Optimization3D_admm::optimization)."""
+    with jax.default_matmul_precision("highest"):
+        return _admm_step_impl(consts, cfg, state, scene)
+
+
+def _admm_step_impl(consts, cfg, state, scene):
+    # Full-f32 matmul passes are REQUIRED on TPU: the KKT blocks reach
+    # condition ~1e6 and bf16-pass Cholesky produces NaN pivots.
     planes = separate_planes(consts, cfg, state.spline, scene)
     sd = spline_direction(consts, cfg, state, planes)
     step_ccd = ccd_step(consts, cfg, state.spline, sd.direction, scene)

@@ -66,8 +66,13 @@ def solve(
     max_iters: int | None = None,
     callback: Callable[[int, StepDiag], None] | None = None,
     validate_init: bool = True,
+    checkpointer=None,
 ) -> tuple[SolverState, list[dict]]:
-    """Host-driven ADMM loop with per-iteration metrics."""
+    """Host-driven ADMM loop with per-iteration metrics.
+
+    ``checkpointer``: optional `runtime.checkpoint.CheckpointManager`; the
+    loop resumes from its latest checkpoint and saves every N iterations.
+    """
     max_iters = max_iters if max_iters is not None else cfg.max_iters
     if validate_init:
         clr = initial_clearance(consts, state, scene)
@@ -82,6 +87,12 @@ def solve(
     history: list[dict] = []
     it = 0
     gnorm = np.inf
+    if checkpointer is not None:
+        restored = checkpointer.restore_latest(dtype=state.spline.dtype)
+        if restored is not None:
+            state, meta = restored
+            it = meta["step"] + 1
+            gnorm = meta.get("extra", {}).get("gnorm", np.inf)
     while it < max_iters:
         if it > 1 and gnorm < cfg.stop:
             break
@@ -102,6 +113,8 @@ def solve(
         history.append(rec)
         if callback:
             callback(it, diag)
+        if checkpointer is not None:
+            checkpointer.maybe_save(it, state, extra={"gnorm": gnorm})
         it += 1
     return state, history
 

@@ -357,6 +357,12 @@ def multi_admm_step(
 ) -> tuple[SolverState, StepDiag]:
     """One multi-robot ADMM iteration (coupled: Optimization3D_multi.h:120-174;
     decoupled: :29-118)."""
+    with jax.default_matmul_precision("highest"):
+        return _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name)
+
+
+def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
+    # full-f32 matmul passes: bf16-pass Cholesky NaNs on ~1e6-condition KKTs
     u = state.spline.shape[0]
     u_total = u * (jax.lax.psum(1, axis_name) if axis_name else 1)
     planes = _all_planes(consts, cfg, state, scene, axis_name)
@@ -368,12 +374,35 @@ def multi_admm_step(
         ds, dt = jax.vmap(
             lambda l: kkt.finish_direction(l, s_tot, r_tot)
         )(ls)
-        directions = jax.vmap(lambda d: kkt.spread_direction(consts, d))(ds)
+        # one iterative-refinement round (f32 Schur cancellation guard)
+        rs, rt_local, ainv_rs = jax.vmap(kkt.correct_direction)(red, ls, ds, dt)
+        rt_tot = _gsum(rt_local, axis_name)
+        br = _gsum(jnp.einsum("ui,ui->u", red.b, ainv_rs), axis_name)
+        s_safe = jnp.maximum(s_tot, 1e-5 * jnp.maximum(jnp.abs(s_tot), 1.0))
+        cdt = -(rt_tot - br) / s_safe
+        ds = ds + (-ainv_rs - cdt * ls.ainv_b)
+        dt = dt + cdt
+        gt_tot = _gsum(red.gt, axis_name)
         wolfe = -( _gsum(jnp.einsum("ui,ui->u", ds, red.gs), axis_name)
-                   + dt[0] * _gsum(red.gt, axis_name))
+                   + dt[0] * gt_tot)
+        # steepest-descent fallback if the Newton direction is not a descent
+        # direction (numerically broken solve => Armijo would accept garbage).
+        # NaN-proof: `wolfe <= 0` is False for NaN, so test the complement.
+        finite = (
+            jnp.isfinite(wolfe)
+            & jnp.all(jnp.isfinite(ds))
+            & jnp.all(jnp.isfinite(dt))
+        )
+        bad = ~finite | ~(wolfe > 0)
+        ds = jnp.where(bad, -red.gs, ds)
+        dt = jnp.where(bad, -gt_tot, dt)
+        wolfe = jnp.where(
+            bad, _gsum(jnp.sum(red.gs**2, axis=1), axis_name) + gt_tot**2, wolfe
+        )
+        directions = jax.vmap(lambda d: kkt.spread_direction(consts, d))(ds)
         gnorm = jnp.sqrt(
             _gsum(jnp.sum(red.gs**2, axis=1), axis_name)
-            + _gsum(red.gt, axis_name) ** 2
+            + gt_tot ** 2
         ) / u_total
 
         step0 = coupled_ccd_step(consts, cfg, state.spline, directions, scene, axis_name)
@@ -413,8 +442,25 @@ def multi_admm_step(
         ds, dt = jax.vmap(
             lambda l: kkt.finish_direction(l, l.schur_s, l.schur_r)
         )(ls)
-        directions = jax.vmap(lambda d: kkt.spread_direction(consts, d))(ds)
+        rs, rt, ainv_rs = jax.vmap(kkt.correct_direction)(red, ls, ds, dt)
+        br = jnp.einsum("ui,ui->u", red.b, ainv_rs)
+        s_safe = jnp.maximum(
+            ls.schur_s, 1e-5 * jnp.maximum(jnp.abs(ls.schur_s), 1.0)
+        )
+        cdt = -(rt - br) / s_safe
+        ds = ds + (-ainv_rs - cdt[:, None] * ls.ainv_b)
+        dt = dt + cdt
         wolfe = -(jnp.einsum("ui,ui->u", ds, red.gs) + dt * red.gt)   # [U]
+        finite = (
+            jnp.isfinite(wolfe)
+            & jnp.all(jnp.isfinite(ds), axis=1)
+            & jnp.isfinite(dt)
+        )
+        bad = ~finite | ~(wolfe > 0)
+        ds = jnp.where(bad[:, None], -red.gs, ds)
+        dt = jnp.where(bad, -red.gt, dt)
+        wolfe = jnp.where(bad, jnp.sum(red.gs**2, axis=1) + red.gt**2, wolfe)
+        directions = jax.vmap(lambda d: kkt.spread_direction(consts, d))(ds)
         gnorm = _gsum(ls.gnorm, axis_name) / u_total
 
         ccd_steps = decoupled_ccd_steps(
