@@ -1,0 +1,91 @@
+"""Scenario batching (vmap over problems) and checkpoint/resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajopt_tpu.config import TrajOptConfig
+from trajopt_tpu import types as tt
+from trajopt_tpu.ops import splines as sp
+from trajopt_tpu.runtime import checkpoint as ckpt
+from trajopt_tpu.scenes import generators as gen
+from trajopt_tpu.solver import admm, driver
+
+
+def make_batch(n_scen=4, n_pieces=3, res=2):
+    cfg = TrajOptConfig(res=res, max_planes=8, max_ccd_candidates=8)
+    ops = sp.build_spline_ops(n_pieces, cfg.res)
+    consts = tt.device_consts(ops)
+    rng = np.random.default_rng(0)
+    states, scenes = [], []
+    for s in range(n_scen):
+        # same topology, different obstacle positions and side offsets;
+        # sphere sits 0.5+ clear of the waypoint line (feasible init)
+        cloud = gen.sphere_scene(128, radius=0.8, seed=s, center=(0, 3.0 + 0.1 * s, 0))
+        y = 1.7 + 0.1 * s
+        wp = np.array([[-3.0, 0, 0], [-1.0, y, 0], [1.0, y, 0], [3.0, 0, 0]])
+        scenes.append(tt.make_scene(cloud))
+        states.append(tt.init_state(ops, wp, cfg.init_piece_time))
+    batch_state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    batch_scene = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    return cfg, ops, consts, batch_state, batch_scene, states, scenes
+
+
+def test_vmapped_scenarios_match_individual():
+    cfg, ops, consts, bstate, bscene, states, scenes = make_batch()
+    stepped = jax.jit(
+        jax.vmap(lambda st, sc: admm.admm_step(consts, cfg, st, sc))
+    )(bstate, bscene)
+    batched_state, batched_diag = stepped
+    for i in range(len(states)):
+        ref_state, ref_diag = admm.admm_step(consts, cfg, states[i], scenes[i])
+        np.testing.assert_allclose(
+            np.asarray(batched_state.spline[i]), np.asarray(ref_state.spline),
+            rtol=1e-9, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            float(batched_diag.gnorm[i]), float(ref_diag.gnorm), rtol=1e-9
+        )
+
+
+def test_batched_fused_solve_converges():
+    cfg, ops, consts, bstate, bscene, *_ = make_batch(n_scen=3)
+    solve = jax.jit(
+        jax.vmap(
+            lambda st, sc: driver.solve_fused(consts, cfg, st, sc, max_iters=60)
+        )
+    )
+    out_state, iters, gnorm = solve(bstate, bscene)
+    assert (np.asarray(gnorm) < cfg.stop).all(), np.asarray(gnorm)
+    assert (np.asarray(out_state.piece_time) > 0).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, ops, consts, bstate, bscene, states, scenes = make_batch(n_scen=1)
+    state = states[0]
+    p = tmp_path / "ck.npz"
+    ckpt.save(str(p), state, step=7, extra={"gnorm": 0.5})
+    restored, meta = ckpt.load(str(p))
+    assert meta["step"] == 7
+    for a, b in zip(state, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    cfg, ops, consts, bstate, bscene, states, scenes = make_batch(n_scen=1)
+    state, scene = states[0], scenes[0]
+    # uninterrupted
+    ref, hist = driver.solve(consts, cfg, state, scene, max_iters=8, validate_init=False)
+    # interrupted at iter 4 + resumed
+    mgr = ckpt.CheckpointManager(str(tmp_path), every=1, keep=2)
+    mid, _ = driver.solve(
+        consts, cfg, state, scene, max_iters=4, validate_init=False, checkpointer=mgr
+    )
+    resumed, hist2 = driver.solve(
+        consts, cfg, state, scene, max_iters=8, validate_init=False, checkpointer=mgr
+    )
+    for f, a, b in zip(ref._fields, ref, resumed):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=0,
+            err_msg=f"resume diverged in {f}",
+        )

@@ -1,0 +1,58 @@
+"""Plane refinement (optimal_plane=1 path) vs the plain GJK plane."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from trajopt_tpu.config import TrajOptConfig
+from trajopt_tpu.ops import geometry as geo
+from trajopt_tpu import types as tt
+from trajopt_tpu.ops import splines as sp
+from trajopt_tpu.scenes import generators as gen
+from trajopt_tpu.solver import admm, driver
+
+
+def barrier_energy(hull, point, c, d, margin):
+    dist = hull @ c + d
+    e = 0.0
+    for x in np.asarray(dist):
+        if x <= 0:
+            return np.inf
+        if x < margin:
+            e += -((x - margin) ** 2) * np.log(x / margin)
+    return e
+
+
+def test_refined_plane_not_worse():
+    rng = np.random.default_rng(4)
+    worse = 0
+    for trial in range(12):
+        hull = rng.standard_normal((6, 3)) * 0.2 + np.array([0, 0, 0.4])
+        point = rng.standard_normal(3) * 0.05
+        fit = geo.obstacle_plane(jnp.asarray(hull), jnp.asarray(point), 0.1, 0.3, 40)
+        if not bool(fit.valid):
+            continue
+        e0 = barrier_energy(hull, point, np.asarray(fit.c), float(fit.d), 0.3)
+        c2, d2 = geo.refine_plane(
+            jnp.asarray(hull), jnp.asarray(point), fit.c, 0.1, 0.3
+        )
+        e1 = barrier_energy(hull, point, np.asarray(c2), float(d2), 0.3)
+        # refinement minimizes the barrier; allow tiny numerical slack
+        if not (e1 <= e0 + 1e-8):
+            worse += 1
+        # refined plane still unit-norm and valid geometry
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(c2)), 1.0, atol=1e-6)
+    assert worse == 0
+
+
+def test_solver_runs_with_optimal_plane():
+    cfg = TrajOptConfig(res=2, max_planes=8, max_ccd_candidates=8, optimal_plane=True)
+    cloud = gen.sphere_scene(200, radius=1.0, seed=1)
+    wp = np.array(
+        [[-3.0, 0, 0], [-1.2, 1.3, 0], [1.2, 1.3, 0], [3.0, 0, 0]]
+    )
+    ops = sp.build_spline_ops(len(wp) - 1, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(cloud)
+    state = tt.init_state(ops, wp, cfg.init_piece_time)
+    state, hist = driver.solve(consts, cfg, state, scene, max_iters=80)
+    assert hist[-1]["gnorm"] < cfg.stop

@@ -50,6 +50,7 @@ class TrajOptConfig:
     max_ccd_candidates: int = 32  # obstacle candidates per segment for the CCD clamp
     max_line_search: int = 64  # cap on 0.8^k shrinks (0.8^64 ~ 6e-7)
     gjk_iters: int = 24        # Frank-Wolfe iterations in the device GJK kernel
+    use_pallas_gjk: bool | None = None  # None = auto (TPU + float32)
     max_iters: int = 1_000_000
 
     @property

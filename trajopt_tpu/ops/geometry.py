@@ -93,6 +93,30 @@ def hull_hull_distance(
     return point_hull_distance(diff, jnp.zeros(3, dtype=verts_a.dtype), iters)
 
 
+def use_pallas_gjk(cfg, dtype) -> bool:
+    """Dispatch decision for the fused Pallas GJK kernel (trace-time)."""
+    if cfg.use_pallas_gjk is not None:
+        return bool(cfg.use_pallas_gjk)
+    return jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float32
+
+
+def batched_origin_dist(
+    diffsets: jnp.ndarray, iters: int, pallas: bool = False
+) -> HullDist:
+    """Distance from the origin to conv(diffsets[i]) for a flat batch [N,m,3].
+
+    ``pallas=True`` routes to the fused TPU kernel (`ops.pallas_gjk`), which
+    runs the whole Frank-Wolfe iteration in VMEM in a single dispatch; the
+    fallback is the vmapped pure-JAX solver (identical math).
+    """
+    if pallas:
+        from . import pallas_gjk
+
+        return pallas_gjk.gjk_diffset(diffsets, iters)
+    zero = jnp.zeros(3, dtype=diffsets.dtype)
+    return jax.vmap(lambda d: point_hull_distance(d, zero, iters))(diffsets)
+
+
 # ---------------------------------------------------------------------------
 # Separating planes
 # ---------------------------------------------------------------------------
@@ -204,6 +228,85 @@ def _barrier_d2(dist, margin):
         - (ds - margin) ** 2 / (ds * ds)
     )
     return jnp.where(act, e2, 0.0)
+
+
+def refine_plane(
+    hull: jnp.ndarray,       # [n,3]
+    point: jnp.ndarray,      # [3]
+    c: jnp.ndarray,          # [3] current unit normal
+    offset: float,
+    margin: float,
+    iters: int = 8,
+    ladder: int = 12,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Barrier-optimal plane refinement (`Optimal_plane::optimal_cd`,
+    Optimal_plane.h:160-293): damped Newton on the hull-side barrier energy in
+    local rotation coordinates (theta, phi) of the unit normal, with ``d``
+    eliminated as ``-c.point - offset``.
+
+    Differences from the reference: fixed iteration/backtracking counts for
+    jit, and derivatives via autodiff of the same energy instead of the
+    hand-coded 2x2 system.  Returns (c, d).
+    """
+
+    def frame(cv):
+        c0 = jnp.stack([cv[1], -cv[0], jnp.zeros((), cv.dtype)])
+        n0 = jnp.sqrt(jnp.maximum(jnp.sum(c0 * c0), _EPS))
+        # degenerate when c ~ +-z: use x axis instead
+        c0 = jnp.where(n0 > 1e-6, c0 / n0, jnp.array([1.0, 0.0, 0.0], cv.dtype))
+        c1 = jnp.cross(c0, cv)
+        c1 = c1 / jnp.sqrt(jnp.maximum(jnp.sum(c1 * c1), _EPS))
+        return c0, c1
+
+    def energy_of(cv):
+        dist = hull @ cv - jnp.dot(cv, point) - offset
+        act = (dist > 0) & (dist < margin)
+        ds = jnp.where(act, dist, margin)
+        e = jnp.where(act, -((ds - margin) ** 2) * jnp.log(ds / margin), 0.0)
+        # infeasible side contributes a large smooth penalty so the Newton
+        # step is pushed back toward validity
+        e_bad = jnp.where(dist <= 0, (margin - dist) ** 2 * 1e3, 0.0)
+        return jnp.sum(e + e_bad)
+
+    def body(_, cv):
+        c0, c1 = frame(cv)
+
+        def local_e(tp):
+            th, ph = tp[0], tp[1]
+            cc = jnp.cos(th) * cv + jnp.sin(th) * (jnp.cos(ph) * c0 + jnp.sin(ph) * c1)
+            return energy_of(cc)
+
+        tp0 = jnp.zeros(2, cv.dtype)
+        g = jax.grad(local_e)(tp0)
+        h = jax.jacfwd(jax.grad(local_e))(tp0)
+        h = h + 1e-2 * jnp.eye(2, dtype=cv.dtype)
+        det = h[0, 0] * h[1, 1] - h[0, 1] * h[1, 0]
+        det = jnp.where(jnp.abs(det) > _EPS, det, 1.0)
+        inv = jnp.array([[h[1, 1], -h[0, 1]], [-h[1, 0], h[0, 0]]], cv.dtype) / det
+        direction = -(inv @ g)
+        # angle clamp (Optimal_plane.h:232-235)
+        big = jnp.maximum(jnp.abs(direction[0]), jnp.abs(direction[1]))
+        step0 = jnp.where(big > 0.5 * jnp.pi, 0.95 * 0.5 * jnp.pi / big, 1.0)
+        steps = step0 * (0.8 ** jnp.arange(ladder, dtype=cv.dtype))
+        w = -jnp.dot(g, direction)
+        e0 = local_e(tp0)
+        es = jax.vmap(lambda s: local_e(s * direction))(steps)
+        ok = e0 - 1e-4 * w * steps >= es
+        ok = jnp.concatenate([ok[:-1], jnp.ones(1, bool)])
+        s = steps[jnp.argmax(ok)]
+        tp = s * direction
+        cc = (
+            jnp.cos(tp[0]) * cv
+            + jnp.sin(tp[0]) * (jnp.cos(tp[1]) * c0 + jnp.sin(tp[1]) * c1)
+        )
+        cc = cc / jnp.sqrt(jnp.maximum(jnp.sum(cc * cc), _EPS))
+        # keep only if it improved and stayed valid
+        better = (energy_of(cc) <= e0) & (w > 0)
+        return jnp.where(better, cc, cv)
+
+    c_new = jax.lax.fori_loop(0, iters, body, c)
+    d_new = -jnp.dot(c_new, point) - offset
+    return c_new, d_new
 
 
 # ---------------------------------------------------------------------------

@@ -37,24 +37,44 @@ _SHRINK = 0.8      # Optimization3D_admm.h:542 / Step.h:97
 def separate_planes(
     consts: SplineConsts, cfg: TrajOptConfig, spline: jnp.ndarray, scene: Scene
 ) -> Planes:
-    """Fixed-K separating-plane table for every subdivided segment."""
+    """Fixed-K separating-plane table for every subdivided segment.
+
+    One flat-batched GJK solve over every (segment, candidate) pair —
+    dispatched to the fused Pallas kernel on TPU."""
     hull = en.seg_cps(consts, spline)                       # [P,R,n,3]
     radius = cfg.offset + cfg.margin
     cand = bp.topk_candidates(hull, scene, radius, cfg.max_planes)
     pts = scene.points[cand.idx]                            # [P,R,K,3]
 
-    def per_seg(h, seg_pts):
-        fit = jax.vmap(
-            lambda q: geo.obstacle_plane(h, q, cfg.offset, cfg.margin, cfg.gjk_iters)
-        )(seg_pts)
-        return fit
-
     p, r, k, _ = pts.shape
-    fit = jax.vmap(per_seg)(hull.reshape(p * r, -1, 3), pts.reshape(p * r, k, 3))
+    n = hull.shape[-2]
+    diff = (hull[:, :, None] - pts[..., None, :]).reshape(-1, n, 3)  # [N,n,3]
+    hd = geo.batched_origin_dist(
+        diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, spline.dtype)
+    )
+    pts_f = pts.reshape(-1, 3)
+    vn = jnp.maximum(hd.dist, 1e-12)
+    c = (hd.v / vn[:, None]).astype(spline.dtype)
+    d = -jnp.einsum("nd,nd->n", c, pts_f.astype(spline.dtype)) - cfg.offset
+    valid = (hd.dist <= radius) & (hd.lb > 1e-7)
+
+    if cfg.optimal_plane:
+        # barrier-optimal refinement (Optimal_plane::optimal_cd).  Deviation
+        # from the reference: refined per iteration from the fresh GJK plane
+        # rather than via the persistent per-(segment, obstacle) cache of
+        # CCDUtils.h:68-70 — fixed-K tables have no stable slots to cache into.
+        hull_f = jnp.broadcast_to(hull[:, :, None], (p, r, k, n, 3)).reshape(-1, n, 3)
+        c2, d2 = jax.vmap(
+            lambda h, q, cc: geo.refine_plane(h, q, cc, cfg.offset, cfg.margin)
+        )(hull_f, pts_f, c)
+        good = jnp.all(jnp.isfinite(c2), axis=-1) & jnp.isfinite(d2)
+        c = jnp.where(good[:, None], c2, c)
+        d = jnp.where(good, d2, d)
+
     return Planes(
-        c=fit.c.reshape(p, r, k, 3),
-        d=fit.d.reshape(p, r, k),
-        mask=cand.mask & fit.valid.reshape(p, r, k),
+        c=c.reshape(p, r, k, 3),
+        d=d.reshape(p, r, k).astype(spline.dtype),
+        mask=cand.mask & valid.reshape(p, r, k),
     )
 
 
@@ -104,6 +124,46 @@ def spline_direction(
     )
 
 
+def step_candidates(cfg: TrajOptConfig, dtype, start=1.0) -> jnp.ndarray:
+    """The geometric step ladder 0.8^k, k = 0..max_line_search-1.
+
+    All backtracking searches test every rung in ONE batched evaluation and
+    pick the best admissible rung — semantically identical to the reference's
+    sequential ``step *= 0.8`` loops (admissibility is monotone down the
+    ladder) but without a serial while_loop on TPU."""
+    k = jnp.arange(cfg.max_line_search, dtype=dtype)
+    return start * _SHRINK**k
+
+
+def _first_true(ok: jnp.ndarray, axis=0) -> jnp.ndarray:
+    """Index of the first True along axis (== len if none)."""
+    return jnp.argmax(ok, axis=axis) + jnp.where(jnp.any(ok, axis=axis), 0, ok.shape[axis])
+
+
+def ladder_bisect(cfg: TrajOptConfig, admissible, dtype) -> jnp.ndarray:
+    """Smallest-k search on the 0.8^k step ladder by bisection.
+
+    ``admissible(step) -> bool`` must be monotone down the ladder (true for a
+    step implies true for every smaller one) — exactly the CCD property.
+    ceil(log2(S)) sequential evaluations instead of the reference's up-to-S
+    shrink loop, each evaluation one batched collision pass.
+    """
+    s_count = cfg.max_line_search
+
+    def body(_, carry):
+        lo, hi = carry  # lo: largest k known bad (-1 ok), hi: smallest k known good
+        mid = (lo + hi) // 2
+        ok = admissible(_SHRINK ** mid.astype(dtype))
+        return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
+
+    n_iter = max(1, (s_count).bit_length())
+    lo0 = jnp.asarray(-1)
+    hi0 = jnp.asarray(s_count)  # sentinel: nothing admissible
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo0, hi0))
+    k = jnp.minimum(hi, s_count - 1)  # floor fallback like the reference cap
+    return _SHRINK ** k.astype(dtype)
+
+
 def ccd_step(
     consts: SplineConsts,
     cfg: TrajOptConfig,
@@ -113,8 +173,8 @@ def ccd_step(
 ) -> jnp.ndarray:
     """Largest step of the form 0.8^k whose swept control hulls provably keep
     clearance > offset from all obstacle points (Step::position_step,
-    Step.h:21-110; checking the shrinking interval [0, step] is monotone-safe
-    exactly as in the reference's sequential per-pair shrink loop)."""
+    Step.h:21-110; the interval [0, 0.8^k] shrinks monotonically so testing
+    the whole ladder at once matches the reference's sequential shrink)."""
     hull = en.seg_cps(consts, spline)                       # [P,R,n,3]
     dhull = en.seg_cps(consts, direction)
     swept_full = geo.swept_hull(hull, dhull, jnp.asarray(1.0, hull.dtype))
@@ -122,32 +182,28 @@ def ccd_step(
     pts = scene.points[cand.idx]                            # [P,R,K,3]
 
     p, r, k, _ = pts.shape
-    hull_f = hull.reshape(p * r, -1, 3)
-    dhull_f = dhull.reshape(p * r, -1, 3)
+    n = hull.shape[-2]
+    hull_f = hull.reshape(p * r, n, 3)
+    dhull_f = dhull.reshape(p * r, n, 3)
     pts_f = pts.reshape(p * r, k, 3)
     mask_f = cand.mask.reshape(p * r, k)
+    steps = step_candidates(cfg, spline.dtype)              # [S]
+    pallas = geo.use_pallas_gjk(cfg, spline.dtype)
 
     def any_collision(step):
-        def per_seg(h, d, q, m):
-            clear = jax.vmap(
-                lambda pt: geo.ccd_point_clear(h, d, pt, step, cfg.offset, cfg.gjk_iters)
-            )(q)
-            return jnp.any(m & ~clear)
+        swept = jnp.concatenate([hull_f, hull_f + step * dhull_f], axis=1)  # [S2,2n,3]
+        diff = (swept[:, None] - pts_f[:, :, None]).reshape(-1, 2 * n, 3)
+        lb = geo.batched_origin_dist(diff, cfg.gjk_iters, pallas).lb
+        return jnp.any(mask_f.reshape(-1) & ~(lb > cfg.offset))
 
-        return jnp.any(jax.vmap(per_seg)(hull_f, dhull_f, pts_f, mask_f))
-
-    def cond(carry):
-        step, i = carry
-        return (i < cfg.max_line_search) & any_collision(step)
-
-    def body(carry):
-        step, i = carry
-        return step * _SHRINK, i + 1
-
-    step, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(1.0, spline.dtype), jnp.asarray(0))
+    # common case: the full step is already clear — otherwise bisect the
+    # ladder (monotone admissibility) in ~7 single-step collision passes
+    return jax.lax.cond(
+        any_collision(steps[0]),
+        lambda _: ladder_bisect(cfg, lambda s: ~any_collision(s), spline.dtype),
+        lambda _: steps[0],
+        operand=None,
     )
-    return step
 
 
 def armijo_spline(
@@ -175,17 +231,17 @@ def armijo_spline(
         bad = ev.infeasible | jnp.isnan(ev.value)
         return jnp.where(bad, jnp.inf, ev.value)
 
-    def cond(carry):
-        step, i = carry
-        return (i < cfg.max_line_search) & (
-            e0 - _ARMIJO_C * sd.wolfe * step < trial_energy(step)
-        )
+    def accepted(step):
+        return e0 - _ARMIJO_C * sd.wolfe * step >= trial_energy(step)
 
-    def body(carry):
-        step, i = carry
-        return step * _SHRINK, i + 1
+    steps = step_candidates(cfg, state.spline.dtype, start=1.0) * step0  # [S]
 
-    step, _ = jax.lax.while_loop(cond, body, (step0, jnp.asarray(0)))
+    def ladder(_):
+        ok = jax.vmap(accepted)(steps)
+        ok = jnp.concatenate([ok[:-1], jnp.ones(1, bool)])  # floor fallback
+        return steps[_first_true(ok)]
+
+    step = jax.lax.cond(accepted(step0), lambda _: step0, ladder, operand=None)
     return state.spline + step * sd.direction, t0 + step * dt, step
 
 
@@ -272,17 +328,11 @@ def slack_update(
         )
         return jnp.where(jnp.isnan(ev), jnp.inf, ev)
 
-    def cond(carry):
-        step_vec, i = carry
-        bad = e0 - _ARMIJO_C * wolfe * step_vec < trial(step_vec)
-        return (i < cfg.max_line_search) & jnp.any(bad)
-
-    def body(carry):
-        step_vec, i = carry
-        bad = e0 - _ARMIJO_C * wolfe * step_vec < trial(step_vec)
-        return jnp.where(bad, step_vec * _SHRINK, step_vec), i + 1
-
-    step, _ = jax.lax.while_loop(cond, body, (step, jnp.asarray(0)))
+    # parallel Armijo ladder over all pieces at once: [S, P]
+    ladder = step_candidates(cfg, xs.dtype)[:, None] * step[None, :]
+    ok = jax.vmap(lambda sv: e0 - _ARMIJO_C * wolfe * sv >= trial(sv))(ladder)
+    ok = jnp.concatenate([ok[:-1], jnp.ones((1, p_num), bool)], axis=0)
+    step = jnp.take_along_axis(ladder, _first_true(ok, axis=0)[None, :], axis=0)[0]
 
     p_slack = state.p_slack + step[:, None, None] * d_cp
     t_slack = state.t_slack + step * d_t

@@ -114,21 +114,33 @@ def self_planes(
         axis=3,
     )
 
-    def fit_one(h_mine, h_other):
-        return geo.pair_plane(
-            h_mine, h_other, cfg.offset, cfg.margin, cfg.gjk_iters
-        )
-
+    # flat-batched mid-plane fit (Separate::selfgjk + Optimal_plane::optimal_d)
     flat_mine = jnp.broadcast_to(
         my_hulls[:, :, :, None], other_hulls.shape
     ).reshape(-1, consts.n_cp, 3)
     flat_other = other_hulls.reshape(-1, consts.n_cp, 3)
-    fit = jax.vmap(fit_one)(flat_mine, flat_other)
+    diff = (
+        flat_mine[:, :, None, :] - flat_other[:, None, :, :]
+    ).reshape(flat_mine.shape[0], -1, 3)
+    hd = geo.batched_origin_dist(
+        diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, splines.dtype)
+    )
+    vn = jnp.maximum(hd.dist, 1e-12)
+    c = (hd.v / vn[:, None]).astype(splines.dtype)
+    d0 = jnp.min(-jnp.einsum("nmd,nd->nm", flat_other, c), axis=1)
+    d1 = jnp.max(-jnp.einsum("nmd,nd->nm", flat_mine, c), axis=1)
+    d = 0.5 * (d0 + d1)
+    d = jax.vmap(
+        lambda ha, hb, cc, dd: geo._optimal_d(
+            ha, hb, cc, dd, cfg.offset, cfg.margin, 8
+        )
+    )(flat_mine, flat_other, c, d)
+    valid = (hd.dist <= cfg.offset + 2 * cfg.margin) & (hd.lb > 1e-7)
     shape = idx.shape
     return Planes(
-        c=fit.c.reshape(*shape, 3),
-        d=fit.d.reshape(shape) - 0.5 * cfg.offset,
-        mask=cand_mask & fit.valid.reshape(shape),
+        c=c.reshape(*shape, 3),
+        d=(d - 0.5 * cfg.offset).reshape(shape).astype(splines.dtype),
+        mask=cand_mask & valid.reshape(shape),
     )
 
 
@@ -150,23 +162,25 @@ def _obstacle_ccd_tables(consts, cfg, splines, directions, scene):
 
 
 def _obstacle_collision(cfg, hulls, dhulls, pts, masks, steps):
-    """[U] bool: any obstacle CCD violation per robot at that robot's step."""
-    u = hulls.shape[0]
-    hf = hulls.reshape(u, -1, hulls.shape[-2], 3)
-    df = dhulls.reshape(u, -1, hulls.shape[-2], 3)
+    """[U] bool: any obstacle CCD violation per robot at that robot's step.
+
+    One flat-batched GJK lower-bound pass over all (robot, segment, candidate)
+    tuples (Pallas-fused on TPU)."""
+    u, n = hulls.shape[0], hulls.shape[-2]
+    hf = hulls.reshape(u, -1, n, 3)
+    df = dhulls.reshape(u, -1, n, 3)
     pf = pts.reshape(u, hf.shape[1], -1, 3)
     mf = masks.reshape(u, hf.shape[1], -1)
+    k = pf.shape[2]
 
-    def per_robot(h, d, q, m, step):
-        def per_seg(hh, dd, qq, mm):
-            clear = jax.vmap(
-                lambda pt: geo.ccd_point_clear(hh, dd, pt, step, cfg.offset, cfg.gjk_iters)
-            )(qq)
-            return jnp.any(mm & ~clear)
-
-        return jnp.any(jax.vmap(per_seg)(h, d, q, m))
-
-    return jax.vmap(per_robot)(hf, df, pf, mf, steps)
+    s = steps[:, None, None, None]
+    swept = jnp.concatenate([hf, hf + s * df], axis=2)      # [U,S,2n,3]
+    diff = (swept[:, :, None] - pf[..., None, :]).reshape(-1, 2 * n, 3)
+    lb = geo.batched_origin_dist(
+        diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, hulls.dtype)
+    ).lb
+    bad = mf.reshape(u, -1) & ~(lb > cfg.offset).reshape(u, -1)
+    return jnp.any(bad, axis=1)
 
 
 class _SelfCCDTables(NamedTuple):
@@ -229,59 +243,56 @@ def _self_collision(cfg, tabs: _SelfCCDTables, my_steps, all_steps):
     other_steps = all_steps[tabs.other_ids]                         # [U,P,R,Ks]
     u, p, r, ks = tabs.mask.shape
     n = tabs.my_hulls.shape[-2]
-    mh = tabs.my_hulls.reshape(u, p * r, n, 3)
-    md = tabs.my_dhulls.reshape(u, p * r, n, 3)
-    oh = tabs.other_hulls.reshape(u, p * r, ks, n, 3)
-    od = tabs.other_dhulls.reshape(u, p * r, ks, n, 3)
-    osteps = other_steps.reshape(u, p * r, ks)
-    mask = tabs.mask.reshape(u, p * r, ks)
-
-    def per_robot(h, d, ohh, odd, ss, mm, s):
-        def per_seg(h1, d1, oh1, od1, ss1, mm1):
-            def per_cand(o_h, o_d, o_s):
-                sa = geo.swept_hull(h1, d1, s)
-                sb = geo.swept_hull(o_h, o_d, o_s)
-                return geo.hull_hull_distance(sa, sb, cfg.gjk_iters).lb > cfg.offset
-
-            clear = jax.vmap(per_cand)(oh1, od1, ss1)
-            return jnp.any(mm1 & ~clear)
-
-        return jnp.any(jax.vmap(per_seg)(h, d, ohh, odd, ss, mm))
-
-    return jax.vmap(per_robot)(mh, md, oh, od, osteps, mask, my_steps)
+    s_mine = my_steps[:, None, None, None, None]                    # [U,1,1,1,1]
+    sa = jnp.concatenate(
+        [tabs.my_hulls, tabs.my_hulls + s_mine * tabs.my_dhulls], axis=-2
+    )                                                               # [U,P,R,2n,3]
+    s_other = other_steps[..., None, None]                          # [U,P,R,Ks,1,1]
+    sb = jnp.concatenate(
+        [tabs.other_hulls, tabs.other_hulls + s_other * tabs.other_dhulls], axis=-2
+    )                                                               # [U,P,R,Ks,2n,3]
+    diff = (
+        sa[:, :, :, None, :, None, :] - sb[:, :, :, :, None, :, :]
+    ).reshape(-1, 4 * n * n, 3)
+    lb = geo.batched_origin_dist(
+        diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, sa.dtype)
+    ).lb
+    bad = tabs.mask.reshape(u, -1) & ~(lb > cfg.offset).reshape(u, -1)
+    return jnp.any(bad, axis=1)
 
 
 def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
     """One fleet-wide scalar step (Step::couple_self_step + per-robot
-    position_step min-reduce, Optimization3D_multi.h:586-594)."""
+    position_step min-reduce, Optimization3D_multi.h:586-594): the whole
+    0.8^k ladder is tested in one batched pass (monotone in k)."""
     hulls, dhulls, pts, masks = _obstacle_ccd_tables(consts, cfg, splines, directions, scene)
     tabs = _self_ccd_tables(consts, cfg, splines, directions, axis_name)
     u = splines.shape[0]
+    ladder = admm.step_candidates(cfg, splines.dtype)       # [S]
 
-    def collides(step):
+    def collides_local(step):
         steps = jnp.full((u,), step, dtype=splines.dtype)
         all_steps_t = _gather_robots(steps, axis_name)
         obs = _obstacle_collision(cfg, hulls, dhulls, pts, masks, steps)
         slf = _self_collision(cfg, tabs, steps, all_steps_t)
-        return _gany(obs | slf, axis_name)
+        return jnp.any(obs | slf)
 
-    def cond(carry):
-        step, i = carry
-        return (i < cfg.max_line_search) & collides(step)
+    def admissible(s):
+        return ~_gany(collides_local(s), axis_name)
 
-    def body(carry):
-        step, i = carry
-        return step * _SHRINK, i + 1
-
-    step, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(1.0, splines.dtype), jnp.asarray(0))
+    return jax.lax.cond(
+        _gany(collides_local(ladder[0]), axis_name),
+        lambda _: admm.ladder_bisect(cfg, admissible, splines.dtype),
+        lambda _: ladder[0],
+        operand=None,
     )
-    return step
 
 
 def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
     """Per-robot steps: pairwise self-shrink then obstacle min
-    (Optimization3D_multi.h:74-83)."""
+    (Optimization3D_multi.h:74-83).  The obstacle part tests the ladder in
+    parallel per robot; the pairwise part stays a fixpoint loop because the
+    collision predicate couples both robots' current steps."""
     u = splines.shape[0]
     hulls, dhulls, pts, masks = _obstacle_ccd_tables(consts, cfg, splines, directions, scene)
     tabs = _self_ccd_tables(consts, cfg, splines, directions, axis_name)
@@ -302,19 +313,31 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
         cond, body, (jnp.ones((u,), splines.dtype), jnp.asarray(0))
     )
 
-    def obs_cond(carry):
-        s, i = carry
-        return (i < cfg.max_line_search) & jnp.any(
-            _obstacle_collision(cfg, hulls, dhulls, pts, masks, s)
-        )
+    def obs_bisect(_):
+        """Vectorized per-robot bisection on the ladder exponent."""
+        s_count = cfg.max_line_search
 
-    def obs_body(carry):
-        s, i = carry
-        bad = _obstacle_collision(cfg, hulls, dhulls, pts, masks, s)
-        return jnp.where(bad, s * _SHRINK, s), i + 1
+        def body(_, carry):
+            lo, hi = carry                                  # [U] ints
+            mid = (lo + hi) // 2
+            bad = _obstacle_collision(
+                cfg, hulls, dhulls, pts, masks,
+                admm._SHRINK ** mid.astype(splines.dtype),
+            )
+            return jnp.where(bad, mid, lo), jnp.where(bad, hi, mid)
 
-    obs_steps, _ = jax.lax.while_loop(
-        obs_cond, obs_body, (jnp.ones((u,), splines.dtype), jnp.asarray(0))
+        lo0 = jnp.full((u,), -1)
+        hi0 = jnp.full((u,), s_count)
+        lo, hi = jax.lax.fori_loop(0, s_count.bit_length(), body, (lo0, hi0))
+        k = jnp.minimum(hi, s_count - 1)
+        return admm._SHRINK ** k.astype(splines.dtype)
+
+    ones = jnp.ones((u,), splines.dtype)
+    obs_steps = jax.lax.cond(
+        jnp.any(_obstacle_collision(cfg, hulls, dhulls, pts, masks, ones)),
+        obs_bisect,
+        lambda _: ones,
+        operand=None,
     )
     return jnp.minimum(steps, obs_steps)
 
@@ -410,7 +433,7 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
         t0 = state.piece_time[0]
         step0 = jnp.where(t0 + step0 * dt[0] <= 0, -0.95 * t0 / dt[0], step0)
 
-        def total_energy(step):
+        def local_energy(step):
             def per_robot(st, pl, d):
                 ev = en.spline_energy(
                     consts, cfg, st, pl,
@@ -419,21 +442,26 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
                 )
                 return jnp.where(ev.infeasible | jnp.isnan(ev.value), jnp.inf, ev.value)
 
-            return _gsum(jax.vmap(per_robot)(state, planes, directions), axis_name)
+            return jnp.sum(jax.vmap(per_robot)(state, planes, directions))
 
-        e0 = total_energy(jnp.asarray(0.0, t0.dtype))
+        def gsum_scalar(x):
+            return jax.lax.psum(x, axis_name) if axis_name else x
 
-        def cond(carry):
-            step, i = carry
-            return (i < cfg.max_line_search) & (
-                e0 - _ARMIJO_C * wolfe * step < total_energy(step)
-            )
+        e0 = gsum_scalar(local_energy(jnp.asarray(0.0, t0.dtype)))
+        ladder = admm.step_candidates(cfg, t0.dtype) * step0      # [S]
 
-        def body(carry):
-            step, i = carry
-            return step * _SHRINK, i + 1
+        def accepted_scalar(step):
+            return e0 - _ARMIJO_C * wolfe * step >= gsum_scalar(local_energy(step))
 
-        step, _ = jax.lax.while_loop(cond, body, (step0, jnp.asarray(0)))
+        def armijo_ladder(_):
+            es = gsum_scalar(jax.vmap(local_energy)(ladder))      # [S]
+            ok = e0 - _ARMIJO_C * wolfe * ladder >= es
+            ok = jnp.concatenate([ok[:-1], jnp.ones(1, bool)])
+            return ladder[admm._first_true(ok)]
+
+        step = jax.lax.cond(
+            accepted_scalar(step0), lambda _: step0, armijo_ladder, operand=None
+        )
         spline = state.spline + step * directions
         piece_time = state.piece_time + step * dt[0]
         steps = jnp.full((u,), step, dtype=step.dtype)
@@ -484,18 +512,15 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
             return jax.vmap(one)(state, planes, directions, step_vec, dt)
 
         e0 = per_robot_energy(jnp.zeros((u,), state.spline.dtype))
-
-        def cond(carry):
-            step_vec, i = carry
-            bad = e0 - _ARMIJO_C * wolfe * step_vec < per_robot_energy(step_vec)
-            return (i < cfg.max_line_search) & jnp.any(bad)
-
-        def body(carry):
-            step_vec, i = carry
-            bad = e0 - _ARMIJO_C * wolfe * step_vec < per_robot_energy(step_vec)
-            return jnp.where(bad, step_vec * _SHRINK, step_vec), i + 1
-
-        steps, _ = jax.lax.while_loop(cond, body, (step0, jnp.asarray(0)))
+        # parallel Armijo ladder per robot: [S, U]
+        ladder = admm.step_candidates(cfg, state.spline.dtype)[:, None] * step0[None, :]
+        ok = jax.vmap(
+            lambda sv: e0 - _ARMIJO_C * wolfe * sv >= per_robot_energy(sv)
+        )(ladder)
+        ok = jnp.concatenate([ok[:-1], jnp.ones((1, u), bool)], axis=0)
+        steps = jnp.take_along_axis(
+            ladder, admm._first_true(ok, axis=0)[None, :], axis=0
+        )[0]
         spline = state.spline + steps[:, None, None] * directions
         piece_time = state.piece_time + steps * dt
 
