@@ -7,6 +7,11 @@ scenario class, start/goal pattern per Main/multiPathPlanning3D.cpp:251-267),
 res=8, quintic/jerk, reference 3D.json parameters with the multi-main's
 ks=1e-3 — the fixed protocol of BASELINE.md.
 
+Measures the production serving path: the whole iteration loop fused on
+device (`driver.solve_fused_multi`, one `lax.while_loop`, zero host
+round-trips), exactly how the reference's `while` loop around
+`Optimization3D_multi::optimization` runs — but on TPU.
+
 ``vs_baseline`` divides by a provisional estimate of the single-threaded C++
 reference's coupled-iteration throughput on an equivalent scene
 (REF_ITERS_PER_S below).  The repository publishes no numbers and its
@@ -16,13 +21,14 @@ measured value when the reference can be run.
 
 from __future__ import annotations
 
+
 import json
 import time
 
 REF_ITERS_PER_S = 10.0  # provisional C++ single-thread estimate; see docstring
 
-N_WARMUP = 3
-N_TIMED = 15
+MAX_ITERS = 500
+N_TIMED_CALLS = 3
 
 
 def main() -> None:
@@ -33,30 +39,33 @@ def main() -> None:
     _cache.enable()
 
     from __graft_entry__ import _build_problem
-    from trajopt_tpu.solver import multi as multi_mod
+    from trajopt_tpu.solver import driver
 
-    cfg, consts, scene, state = _build_problem(
+    cfg, consts, scene, state0 = _build_problem(
         uav_num=8, n_pieces=4, res=8, n_points=4000,
         max_planes=16, max_self=4, max_ccd=16,
     )
 
-    step = jax.jit(
-        lambda s: multi_mod.multi_admm_step(
-            consts, cfg, s, scene, coupled=True, axis_name=None
+    def run():
+        # the reference's own protocol: full solve until gnorm < stop,
+        # iters/s = iter / running time (BASELINE.md)
+        return driver.solve_fused_multi(
+            consts, cfg, state0, scene, coupled=True, max_iters=MAX_ITERS
         )
-    )
 
-    for _ in range(N_WARMUP):
-        state, diag = step(state)
+    state, it, gnorm = run()   # compile + warm up
     jax.block_until_ready(state)
+    assert int(it) < MAX_ITERS, "did not converge within MAX_ITERS"
 
     t0 = time.perf_counter()
-    for _ in range(N_TIMED):
-        state, diag = step(state)
+    total_iters = 0
+    for _ in range(N_TIMED_CALLS):
+        state, it, gnorm = run()
+        total_iters += int(it)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 
-    iters_per_s = N_TIMED / dt
+    iters_per_s = total_iters / dt
     print(
         json.dumps(
             {

@@ -96,3 +96,28 @@ def test_four_robots_coupled():
     )
     assert hist[-1]["gnorm"] < cfg.stop
     assert pairwise_min_clearance(consts, state) > cfg.offset - 1e-6
+
+
+def test_fused_multi_matches_host_loop():
+    """solve_fused_multi (device while_loop) == host-stepped solve_multi."""
+    cfg, ops, consts, scene, state = make_problem(uav_num=2)
+    ref_state, hist = driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=10
+    )
+    # disable the convergence gate difference by matching iteration counts
+    import dataclasses
+
+    cfg_nostop = dataclasses.replace(cfg, stop=0.0)
+    fused_state, it, gnorm = driver.solve_fused_multi(
+        consts, cfg_nostop, state, scene, coupled=True, max_iters=10
+    )
+    assert int(it) == len(hist) == 10
+    np.testing.assert_allclose(
+        np.asarray(fused_state.spline), np.asarray(ref_state.spline),
+        rtol=1e-9, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_state.piece_time), np.asarray(ref_state.piece_time),
+        rtol=1e-9,
+    )
+    assert np.isclose(float(gnorm), hist[-1]["gnorm"], rtol=1e-6)

@@ -34,6 +34,8 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="shard robots over this many devices (0 = single chip)")
     ap.add_argument("--result-dir", default="result")
     ap.add_argument("--metrics", default=None)
+    ap.add_argument("--plot", default=None, metavar="PNG",
+                    help="render trajectory + convergence PNGs (offline viewer)")
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--n-points", type=int, default=5000)
     ap.add_argument("--x64", action="store_true")
@@ -150,6 +152,16 @@ def main(argv=None) -> int:
         )
         print(f"uav {i}: ccd time {stats['ccd_time']:.3f}  ccd len {stats['ccd_len']:.3f}")
     print(f"result written to {result_path}")
+    if args.plot:
+        from .. import viz
+
+        viz.plot_scene(ops, cloud, np.asarray(state.spline),
+                       np.asarray(state.piece_time), args.plot,
+                       waypoints=wps, title=f"{name} ({mode})")
+        if history:
+            root, ext = os.path.splitext(args.plot)
+            viz.plot_history(history, f"{root}_history{ext or '.png'}")
+        print(f"plots written to {args.plot}")
     return 0
 
 

@@ -28,6 +28,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--init-file", default=None, help="waypoint init file")
     ap.add_argument("--result-dir", default="result")
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
+    ap.add_argument("--plot", default=None, metavar="PNG",
+                    help="render trajectory + convergence PNGs (offline viewer)")
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--n-points", type=int, default=20000)
     ap.add_argument("--x64", action="store_true", help="float64 (CPU debugging)")
@@ -109,6 +111,16 @@ def main(argv=None) -> int:
     print(f"ccd len: {stats['ccd_len']:.4f}")
     print(f"point cloud size: {len(cloud)}")
     print(f"result written to {result_path}")
+    if args.plot:
+        from .. import viz
+
+        viz.plot_scene(ops, cloud, np.asarray(state.spline),
+                       float(state.piece_time), args.plot,
+                       waypoints=way_points, title=name)
+        if history:
+            root, ext = os.path.splitext(args.plot)
+            viz.plot_history(history, f"{root}_history{ext or '.png'}")
+        print(f"plots written to {args.plot}")
     if metrics_fh:
         metrics_fh.close()
     return 0

@@ -184,3 +184,41 @@ def solve_fused(
         cond, body, (state, jnp.asarray(0), jnp.asarray(jnp.inf, state.piece_time.dtype))
     )
     return state, it, gnorm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "coupled", "max_iters", "axis_name")
+)
+def solve_fused_multi(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,          # leading robot axis U on all leaves
+    scene: Scene,
+    coupled: bool,
+    max_iters: int = 200,
+    axis_name: str | None = None,
+) -> tuple[SolverState, jnp.ndarray, jnp.ndarray]:
+    """Entire multi-robot solve as one device-side while_loop (zero host
+    round-trips — the production serving path; under shard_map pass the mesh
+    ``axis_name`` and the loop carries the collectives inside).
+
+    Returns (state, iterations_run, final_gnorm).
+    """
+    from . import multi as multi_mod
+
+    def cond(carry):
+        state, it, gnorm = carry
+        return (it < max_iters) & ((it <= 1) | (gnorm >= cfg.stop))
+
+    def body(carry):
+        state, it, gnorm = carry
+        state, diag = multi_mod.multi_admm_step(
+            consts, cfg, state, scene, coupled=coupled, axis_name=axis_name
+        )
+        return state, it + 1, diag.gnorm
+
+    state, it, gnorm = jax.lax.while_loop(
+        cond, body,
+        (state, jnp.asarray(0), jnp.asarray(jnp.inf, state.piece_time.dtype)),
+    )
+    return state, it, gnorm
