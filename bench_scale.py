@@ -1,0 +1,131 @@
+"""Scaling benchmarks: robots x mode x scenario-batch, full-solve protocol.
+
+Measures the reference's own metric (ADMM iterations / wall-clock second,
+BASELINE.md) across the scale axes the TPU build is designed for:
+
+* robot count 8..64 on the cross-swap scene class (coupled + decoupled)
+* scenario batching (vmap over independent problems)
+
+Writes one JSON line per configuration to stdout and (with --out) a JSON file
+used to fill BASELINE.md's results table.  `bench.py` remains the driver's
+single-line headline benchmark; this file is the full matrix.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def run_case(uav_num: int, coupled: bool, n_points: int = 4000,
+             n_pieces: int = 4, max_iters: int = 600) -> dict:
+    import jax
+    from __graft_entry__ import _build_problem
+    from trajopt_tpu.solver import driver
+
+    cfg, consts, scene, state0 = _build_problem(
+        uav_num=uav_num, n_pieces=n_pieces, res=8, n_points=n_points,
+        max_planes=16, max_self=4, max_ccd=16,
+    )
+
+    def run():
+        return driver.solve_fused_multi(
+            consts, cfg, state0, scene, coupled=coupled, max_iters=max_iters
+        )
+
+    state, it, gnorm = run()
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state, it, gnorm = run()
+    iters = int(it)
+    dt = time.perf_counter() - t0
+    return {
+        "case": f"{uav_num}robot_{'coupled' if coupled else 'decoupled'}_cross",
+        "uav_num": uav_num,
+        "mode": "coupled" if coupled else "decoupled",
+        "iters": iters,
+        "wall_ms": round(dt * 1e3, 1),
+        "iters_per_s": round(iters / dt, 2),
+        "converged": iters < max_iters,
+        "gnorm": float(gnorm),
+        "n_points": n_points,
+    }
+
+
+def run_batched(batch: int, uav_num: int = 4, n_points: int = 2000,
+                iters: int = 50) -> dict:
+    """Scenario batching: vmap the coupled step over independent problems."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _build_problem
+    from trajopt_tpu.solver import driver
+
+    cfg, consts, scene, state0 = _build_problem(
+        uav_num=uav_num, n_pieces=4, res=8, n_points=n_points,
+        max_planes=16, max_self=4, max_ccd=16,
+    )
+    cfg = dataclasses.replace(cfg, stop=0.0)   # fixed-iteration throughput
+    # independent scenarios: jitter the initial splines
+    rng = np.random.default_rng(0)
+    deltas = jnp.asarray(
+        rng.normal(scale=1e-3, size=(batch,) + state0.spline.shape),
+        state0.spline.dtype,
+    )
+    states = jax.vmap(lambda d: state0._replace(spline=state0.spline + d))(deltas)
+
+    fn = jax.jit(jax.vmap(
+        lambda s: driver.solve_fused_multi.__wrapped__(
+            consts, cfg, s, scene, coupled=True, max_iters=iters
+        )
+    ))
+    out = fn(states)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    out = fn(states)
+    jax.block_until_ready(out[0])
+    dt = time.perf_counter() - t0
+    total = batch * iters
+    return {
+        "case": f"batch{batch}_{uav_num}robot_coupled",
+        "batch": batch,
+        "uav_num": uav_num,
+        "iters_per_s": round(total / dt, 2),
+        "solve_iters_per_s_per_scenario": round(iters / dt, 2),
+        "wall_ms": round(dt * 1e3, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--quick", action="store_true", help="8/16 robots only")
+    args = ap.parse_args()
+
+    from trajopt_tpu.runtime import cache as _cache
+
+    _cache.enable()
+
+    results = []
+    robots = [8, 16] if args.quick else [8, 16, 32, 64]
+    for u in robots:
+        for coupled in (True, False):
+            r = run_case(u, coupled)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    for b in ([4] if args.quick else [4, 16]):
+        r = run_batched(b)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

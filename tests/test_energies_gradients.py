@@ -181,3 +181,38 @@ def test_slack_energy_vector_matches_local(setup):
             state.p_lambda[p], state.t_lambda[p], consts.m_dyn, cfg,
         )
         np.testing.assert_allclose(float(vec[p]), float(e), rtol=1e-12)
+
+
+def test_psd_repair_ladder_makes_pd():
+    """Ladder repair must leave every block PD, keep PD blocks untouched, and
+    over-shift by at most ~1.16x the needed shift (+ floor-rung + 0.01)."""
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(64, 19, 19))
+    sym = 0.5 * (a + a.transpose(0, 2, 1)) * 10.0
+    fixed = np.asarray(gr.psd_repair_ladder(jnp.asarray(sym)))
+    wmin = np.linalg.eigvalsh(fixed)[:, 0]
+    assert (wmin > 0).all(), wmin.min()
+    # bounded over-shift: <= bisection factor * (-lambda_min) + floor-rung
+    # (G*1e-6, inert) + the reference's 0.01 floor
+    true_min = np.linalg.eigvalsh(sym)[:, 0]
+    diag = np.einsum("bii->bi", sym)
+    gersh = np.maximum(-(diag - (np.abs(sym).sum(-1) - np.abs(diag))).min(-1), 0)
+    shift = (fixed - sym)[:, 0, 0]
+    factor = 10.0 ** (gr._LADDER_DECADES / (gr._LADDER_RUNGS - 1) / 2**gr._LADDER_BISECT)
+    assert (shift <= factor * np.maximum(-true_min, 0) + 1e-5 * gersh + 0.011).all()
+
+    # already-PD blocks stay untouched
+    pd = np.einsum("bij,bkj->bik", a, a) + 0.1 * np.eye(19)
+    np.testing.assert_allclose(
+        np.asarray(gr.psd_repair_ladder(jnp.asarray(pd))), pd
+    )
+
+    # clustered all-negative spectra: shift still sufficient
+    q, _ = np.linalg.qr(rng.normal(size=(32, 19, 19)))
+    w = -np.abs(rng.normal(size=(32, 19)))
+    w[:, 0] = w[:, 1] - 1e-9
+    h = np.einsum("bij,bj,bkj->bik", q, w, q)
+    fixed = np.asarray(gr.psd_repair_ladder(jnp.asarray(h)))
+    assert (np.linalg.eigvalsh(fixed)[:, 0] > 0).all()
+
+

@@ -181,3 +181,26 @@ class TestCCD:
                 for t in np.linspace(0, step, 13):
                     d = brute_point_hull(hull + t * direction, point)
                     assert d > 0.1 - 1e-6
+
+
+def test_two_level_broadphase_matches_direct():
+    """coarse_k two-level candidates == direct top_k (same points, same mask)
+    when the coarse level has no overflow."""
+    import numpy as np
+    from trajopt_tpu.ops import broadphase as bp
+    from trajopt_tpu import types as tt
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(2000, 3)) * 6.0
+    scene = tt.make_scene(pts)
+    hull = jnp.asarray(rng.normal(size=(3, 4, 6, 3)))
+    radius, k = 0.4, 8
+    direct = bp.topk_candidates(hull, scene, radius, k)
+    two = bp.topk_candidates(hull, scene, radius, k, coarse_k=256)
+    assert not bool(bp.coarse_overflow(hull, scene, radius, 256).any())
+    # same masked candidate sets (ordering/ties may differ)
+    for p in range(hull.shape[0]):
+        for r in range(hull.shape[1]):
+            a = set(np.asarray(direct.idx[p, r])[np.asarray(direct.mask[p, r])])
+            b = set(np.asarray(two.idx[p, r])[np.asarray(two.mask[p, r])])
+            assert a == b

@@ -52,6 +52,8 @@ class TrajOptConfig:
     gjk_iters: int = 24        # Frank-Wolfe iterations in the device GJK kernel
     use_pallas_gjk: bool | None = None  # None = auto (TPU + float32)
     max_iters: int = 1_000_000
+    psd_method: str = "eigh"  # "eigh" (exact, benches faster) | "ladder" (Cholesky ladder)
+    broadphase_coarse_k: int = 256  # two-level broad phase subset (0 = direct)
 
     @property
     def order(self) -> int:

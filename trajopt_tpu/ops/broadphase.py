@@ -51,15 +51,56 @@ def topk_candidates(
     scene: Scene,
     radius: float,
     k: int,
+    coarse_k: int = 0,
 ) -> Candidates:
     """K nearest obstacles per segment by point-to-AABB distance, masked to
-    those within ``radius`` of the hull AABB."""
-    lo, hi = hull_aabbs(hull)
-    d2 = aabb_point_dist2(lo, hi, scene.points)            # [P,R,N]
-    d2 = jnp.where(scene.mask, d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k)                       # [P,R,K]
+    those within ``radius`` of the hull AABB.
+
+    ``coarse_k > 0`` enables the two-level exact filter: one per-*piece*
+    ``top_k`` over the full cloud (the piece AABB unions all its segments'
+    hulls, so a point within ``radius`` of any segment is within ``radius``
+    of the piece box — exactness is preserved while the expensive per-segment
+    ``top_k`` runs over ``coarse_k`` points instead of N).  This is the TPU
+    analog of the reference's AABB-tree descent (BVH.cpp:149-250): level 1 is
+    the tree's upper levels, level 2 the leaf scan.  If more than ``coarse_k``
+    points fall within radius of a piece box the overflow trims the *farthest*
+    candidates (use `coarse_overflow` to audit a scene/config pair).
+    """
+    lo, hi = hull_aabbs(hull)                              # [P,R,3]
+    n_points = scene.points.shape[0]
+    if 0 < coarse_k < n_points:
+        plo, phi = lo.min(axis=-2), hi.max(axis=-2)        # [P,3] piece boxes
+        d2p = aabb_point_dist2(plo, phi, scene.points)     # [P,N]
+        d2p = jnp.where(scene.mask, d2p, jnp.inf)
+        _, cidx = jax.lax.top_k(-d2p, coarse_k)            # [P,Ck]
+        sub = scene.points[cidx]                           # [P,Ck,3]
+        subok = jnp.take_along_axis(
+            jnp.broadcast_to(scene.mask, d2p.shape), cidx, axis=1
+        )
+        d = jnp.maximum(lo[..., None, :] - sub[:, None], 0.0) + jnp.maximum(
+            sub[:, None] - hi[..., None, :], 0.0
+        )                                                  # [P,R,Ck,3]
+        d2 = jnp.where(subok[:, None], jnp.sum(d * d, axis=-1), jnp.inf)
+        neg, loc = jax.lax.top_k(-d2, k)                   # [P,R,K]
+        idx = jnp.take_along_axis(cidx[:, None], loc, axis=2)
+    else:
+        d2 = aabb_point_dist2(lo, hi, scene.points)        # [P,R,N]
+        d2 = jnp.where(scene.mask, d2, jnp.inf)
+        neg, idx = jax.lax.top_k(-d2, k)                   # [P,R,K]
     mask = (-neg) <= radius * radius
     return Candidates(idx=idx.astype(jnp.int32), mask=mask)
+
+
+def coarse_overflow(
+    hull: jnp.ndarray, scene: Scene, radius: float, coarse_k: int
+) -> jnp.ndarray:
+    """[P] bool: does any piece box have more than ``coarse_k`` in-radius
+    points (i.e. could the two-level filter drop a true candidate)?"""
+    lo, hi = hull_aabbs(hull)
+    plo, phi = lo.min(axis=-2), hi.max(axis=-2)
+    d2p = aabb_point_dist2(plo, phi, scene.points)
+    d2p = jnp.where(scene.mask, d2p, jnp.inf)
+    return jnp.sum(d2p <= radius * radius, axis=-1) > coarse_k
 
 
 def pairwise_robot_dist2(

@@ -151,6 +151,72 @@ def grad_and_hess(fn, x, *args):
     return g, h
 
 
+_LADDER_RUNGS = 13     # nonzero rungs spanning _LADDER_DECADES below Gershgorin
+_LADDER_DECADES = 6.0  # G can overestimate -lambda_min by 1e4+ on real blocks
+_LADDER_BISECT = 3     # geometric-bisection refinements of the bracketing rungs
+
+
+def psd_repair_ladder(h: jnp.ndarray) -> jnp.ndarray:
+    """PSD repair via a parallel Cholesky shift ladder (TPU-fast `psd_repair`).
+
+    The reference shifts indefinite blocks by ``-lambda_min + 0.01`` computed
+    with a dense eigensolver (Gradient_admm.h:44-53).  XLA's batched 19x19
+    ``eigh`` profiles at ~44% of the whole ADMM iteration on TPU, so instead
+    we factor ``H + s_j*I`` for a geometric ladder of candidate shifts — all
+    in ONE batched Cholesky (an indefinite input yields NaNs, not an error) —
+    then refine the bracketing pair of rungs with a few geometric-bisection
+    Cholesky steps.  Rungs are scaled by the per-block Gershgorin bound
+    ``G = max(0, -min_i(h_ii - sum|h_ij|))``: the needed shift is at most
+    ``G``, so the top rung (= G) always succeeds, and on real blocks G
+    overestimates ``-lambda_min`` by up to ~3e4, hence the 6-decade span
+    (the floor rung G*1e-6 is a <=1e-6 *relative* perturbation of H — inert
+    for the Newton step).  Guarantees:
+
+    * PD blocks get shift 0 (exactly the reference's no-repair path);
+    * repaired blocks are PD by construction (verified by the factorization
+      itself, not an estimate), over-shifted by at most
+      ``10^(DECADES/(RUNGS-1)/2^BISECT)`` ≈ 1.16x vs the minimal
+      Cholesky-accepted shift, plus the reference's +0.01 floor.
+    """
+    m = h.shape[-1]
+    eye = jnp.eye(m, dtype=h.dtype)
+    ldiag_idx = (..., jnp.arange(m), jnp.arange(m))
+
+    def chol_ok(mat):  # [..., m, m] -> [...] bool: is mat numerically PD?
+        ld = jnp.linalg.cholesky(mat)[ldiag_idx]
+        return jnp.all(jnp.isfinite(ld) & (ld > 0), axis=-1)
+
+    diag = jnp.diagonal(h, axis1=-2, axis2=-1)
+    offsum = jnp.sum(jnp.abs(h), axis=-1) - jnp.abs(diag)
+    gersh = jnp.maximum(-jnp.min(diag - offsum, axis=-1), 1e-30)  # >= -lambda_min
+    ratio = 10.0 ** (_LADDER_DECADES / (_LADDER_RUNGS - 1))
+    expo = jnp.arange(1 - _LADDER_RUNGS, 1, dtype=h.dtype) * (
+        _LADDER_DECADES / (_LADDER_RUNGS - 1)
+    )                                                           # -DECADES..0
+    shifts = jnp.concatenate(
+        [jnp.zeros(1, h.dtype), 10.0 ** expo]
+    ) * gersh[..., None]                                        # [..., S+1]
+    trial = h[..., None, :, :] + shifts[..., None, None] * eye  # [..., S+1, m, m]
+    ok = chol_ok(trial)                                         # [..., S+1]
+    first = jnp.argmax(ok, axis=-1)                             # smallest PD rung
+    hi = jnp.take_along_axis(shifts, first[..., None], axis=-1)[..., 0]
+    # measure-zero degeneracy: H + G*I numerically singular -> bump past bound
+    hi = jnp.where(jnp.any(ok, axis=-1), hi, 1.1 * gersh)
+    # Refine within (hi/ratio, hi]: geometric bisection, one batched Cholesky
+    # per step.  Skip blocks already settled (PD at rung 0 or floor rung 1 —
+    # their shift is 0 or a <=1e-6 relative perturbation).
+    refine = first > 1
+    lo = hi / ratio
+    for _ in range(_LADDER_BISECT):
+        mid = jnp.sqrt(lo * hi)
+        mid_ok = chol_ok(h + jnp.where(refine, mid, gersh)[..., None, None] * eye)
+        hi = jnp.where(refine & mid_ok, mid, hi)
+        lo = jnp.where(refine & ~mid_ok, mid, lo)
+    shift = jnp.where(first > 0, hi, 0.0)
+    shift = jnp.where(shift > 0, shift + 0.01, 0.0)             # reference floor
+    return h + shift[..., None, None] * eye
+
+
 def psd_repair(h: jnp.ndarray) -> jnp.ndarray:
     """Batched spectrum shift: if min eigenvalue < 0, ``h - w_min I + 0.01 I``.
 
@@ -199,4 +265,8 @@ def piece_grads_and_hessians(
         return grad_and_hess(local_spline_energy, x, d, cfg)
 
     g, h = jax.vmap(one)(xs, data)
-    return g, psd_repair(h) if repair else h
+    if not repair:
+        return g, h
+    if cfg.psd_method == "eigh":
+        return g, psd_repair(h)
+    return g, psd_repair_ladder(h)

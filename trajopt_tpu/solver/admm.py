@@ -43,7 +43,8 @@ def separate_planes(
     dispatched to the fused Pallas kernel on TPU."""
     hull = en.seg_cps(consts, spline)                       # [P,R,n,3]
     radius = cfg.offset + cfg.margin
-    cand = bp.topk_candidates(hull, scene, radius, cfg.max_planes)
+    cand = bp.topk_candidates(hull, scene, radius, cfg.max_planes,
+                              coarse_k=cfg.broadphase_coarse_k)
     pts = scene.points[cand.idx]                            # [P,R,K,3]
 
     p, r, k, _ = pts.shape
@@ -178,7 +179,9 @@ def ccd_step(
     hull = en.seg_cps(consts, spline)                       # [P,R,n,3]
     dhull = en.seg_cps(consts, direction)
     swept_full = geo.swept_hull(hull, dhull, jnp.asarray(1.0, hull.dtype))
-    cand = bp.topk_candidates(swept_full, scene, cfg.offset + 1e-3, cfg.max_ccd_candidates)
+    cand = bp.topk_candidates(swept_full, scene, cfg.offset + 1e-3,
+                              cfg.max_ccd_candidates,
+                              coarse_k=cfg.broadphase_coarse_k)
     pts = scene.points[cand.idx]                            # [P,R,K,3]
 
     p, r, k, _ = pts.shape
@@ -295,7 +298,7 @@ def slack_update(
         h,
         jnp.eye(gr.N_LOC, dtype=h.dtype)[None],
     )
-    h = gr.psd_repair(h)
+    h = gr.psd_repair(h) if cfg.psd_method == "eigh" else gr.psd_repair_ladder(h)
 
     d = -jax.vmap(lambda hh, gg: jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(hh), gg))(h, g)

@@ -155,7 +155,9 @@ def _obstacle_ccd_tables(consts, cfg, splines, directions, scene):
         hull = en.seg_cps(consts, s)
         dhull = en.seg_cps(consts, d)
         swept = geo.swept_hull(hull, dhull, jnp.asarray(1.0, s.dtype))
-        cand = bp.topk_candidates(swept, scene, cfg.offset + 1e-3, cfg.max_ccd_candidates)
+        cand = bp.topk_candidates(swept, scene, cfg.offset + 1e-3,
+                                  cfg.max_ccd_candidates,
+                                  coarse_k=cfg.broadphase_coarse_k)
         return hull, dhull, scene.points[cand.idx], cand.mask
 
     return jax.vmap(per_robot)(splines, directions)
