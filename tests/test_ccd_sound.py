@@ -1,0 +1,138 @@
+"""Soundness of the CCD certification layer (ops/ccd.py).
+
+Regression for the fixed-K candidate-overflow bug: when more obstacle points
+fall within reach of a swept hull than the GJK slot count, the old CCD
+silently dropped the overflow from certification and accepted unsafe steps
+(32-robot coupled cross runs lost feasibility and livelocked at ccd_step=0).
+The new layer certifies EVERY pair via the exhaustive k-DOP gap, so an unsafe
+step must always be flagged regardless of slot count.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajopt_tpu.ops import ccd as ccd_ops
+
+
+@jax.jit
+def _brute_min_dist(verts, pts):
+    """Min over pts of the distance to conv(verts): one vmapped long-iteration
+    Frank-Wolfe solve (float64 under the test conftest)."""
+    from trajopt_tpu.ops import geometry as geo
+
+    d = jax.vmap(lambda p: geo.point_hull_distance(verts, p, 200).dist)(pts)
+    return jnp.min(d)
+
+
+def brute_min_swept(hull, dhull, pts, step):
+    verts = jnp.asarray(
+        np.concatenate([hull, hull + step * dhull], axis=0), jnp.float64
+    )
+    return float(_brute_min_dist(verts, jnp.asarray(pts, jnp.float64)))
+
+
+class TestObstacleSoundness:
+    def _tabs(self, hull, dhull, pts, k):
+        pmask = jnp.ones(len(pts), bool)
+        return ccd_ops.build_obstacle_ccd(
+            jnp.asarray(hull)[None, None, None],
+            jnp.asarray(dhull)[None, None, None],
+            jnp.asarray(pts), pmask, k,
+        )
+
+    def test_overflow_wall_is_flagged(self):
+        """A wall of many co-distant points ahead of a fast hull: even with
+        k_gjk=2 slots the unsafe full step must be flagged."""
+        rng = np.random.default_rng(0)
+        hull = rng.normal(size=(6, 3)) * 0.1            # small hull at origin
+        dhull = np.tile([5.0, 0.0, 0.0], (6, 1))        # sweep through x=2.5
+        wall = np.stack([
+            np.full(64, 2.5),
+            rng.uniform(-0.3, 0.3, 64),
+            rng.uniform(-0.3, 0.3, 64),
+        ], axis=1)
+        tabs = self._tabs(hull, dhull, wall, k=2)
+        bad_full = ccd_ops.obstacle_bad(tabs, jnp.asarray(1.0), 0.1, 64, False)
+        assert bool(bad_full.any()), "unsafe full step not flagged"
+        bad_tiny = ccd_ops.obstacle_bad(tabs, jnp.asarray(1e-3), 0.1, 64, False)
+        assert not bool(bad_tiny.any()), "safe tiny step wrongly flagged"
+
+    def test_certified_steps_are_truly_safe(self):
+        """Property: any step the layer certifies keeps true clearance >
+        offset for EVERY point (brute force), over random scenes."""
+        rng = np.random.default_rng(1)
+        offset = 0.1
+        checked = 0
+        for trial in range(8):
+            hull = rng.normal(size=(6, 3))
+            dhull = rng.normal(size=(6, 3)) * 2.0
+            pts = rng.normal(size=(128, 3)) * 2.0
+            tabs = self._tabs(hull, dhull, pts, k=4)
+            for step in (1.0, 0.5, 0.25, 0.1, 0.01):
+                bad = bool(ccd_ops.obstacle_bad(
+                    tabs, jnp.asarray(step), offset, 64, False
+                ).any())
+                if not bad:
+                    dmin = brute_min_swept(hull, dhull, pts, step)
+                    assert dmin > offset - 1e-9, (trial, step, dmin)
+                    checked += 1
+        assert checked > 0
+
+    def test_masked_points_ignored(self):
+        hull = np.zeros((6, 3))
+        dhull = np.zeros((6, 3))
+        pts = np.zeros((4, 3))                          # all colliding...
+        pmask = jnp.zeros(4, bool)                      # ...but all masked
+        tabs = ccd_ops.build_obstacle_ccd(
+            jnp.asarray(hull)[None, None, None],
+            jnp.asarray(dhull)[None, None, None],
+            jnp.asarray(pts), pmask, 2,
+        )
+        assert not bool(ccd_ops.obstacle_bad(tabs, jnp.asarray(1.0), 0.1, 32, False).any())
+
+
+class TestPairSoundness:
+    def test_crossing_robots_flagged(self):
+        """Two robots whose segment hulls swap positions: full step unsafe,
+        tiny step safe; with 3+ robots converging, slot overflow must not
+        unflag the collision."""
+        rng = np.random.default_rng(2)
+        u, p, r, n = 4, 1, 1, 6
+        base = rng.normal(size=(n, 3)) * 0.05
+        # robots on a circle of radius 2, all moving through the center
+        hulls = np.stack([
+            base + np.array([2*np.cos(a), 2*np.sin(a), 0.0])
+            for a in np.linspace(0, 2*np.pi, u, endpoint=False)
+        ])[:, None, None]                                # [U,1,1,n,3]
+        dhulls = -2.0 * hulls                            # sweep to -pos (through 0)
+        gids = jnp.arange(u, dtype=jnp.int32)
+        tabs = ccd_ops.build_pair_ccd(
+            jnp.asarray(hulls), jnp.asarray(dhulls),
+            jnp.asarray(hulls), jnp.asarray(dhulls), gids, k_gjk=1,
+        )
+        ones = jnp.ones(u)
+        bad = ccd_ops.pair_bad(tabs, ones, ones, 0.1, 64, False)
+        assert bool(bad.any())
+        tiny = jnp.full((u,), 1e-3)
+        bad0 = ccd_ops.pair_bad(tabs, tiny, tiny, 0.1, 64, False)
+        assert not bool(bad0.any())
+
+    def test_per_robot_steps(self):
+        """Asymmetric steps: robot A stopped, robot B sweeping into A."""
+        n = 6
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(n, 3)) * 0.05
+        hulls = np.stack([base + [0, 0, 0], base + [3, 0, 0]])[:, None, None]
+        dhulls = np.stack([np.zeros((n, 3)), np.tile([-3.0, 0, 0], (n, 1))])[:, None, None]
+        gids = jnp.arange(2, dtype=jnp.int32)
+        tabs = ccd_ops.build_pair_ccd(
+            jnp.asarray(hulls), jnp.asarray(dhulls),
+            jnp.asarray(hulls), jnp.asarray(dhulls), gids, k_gjk=1,
+        )
+        # B at full step crashes into A
+        bad = ccd_ops.pair_bad(tabs, jnp.array([1.0, 1.0]), jnp.array([1.0, 1.0]), 0.1, 64, False)
+        assert bool(bad.any())
+        # B limited to 10%: clear (ends 2.7 away)
+        bad = ccd_ops.pair_bad(tabs, jnp.array([1.0, 0.1]), jnp.array([1.0, 0.1]), 0.1, 64, False)
+        assert not bool(bad.any())

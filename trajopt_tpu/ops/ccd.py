@@ -1,0 +1,264 @@
+"""Sound conservative CCD: exhaustive k-DOP certification + selective GJK.
+
+Replaces the earlier fixed-K-candidate CCD, which was *unsound*: when more
+than K obstacle points fell within reach of a segment's swept hull, the
+overflow points were silently dropped from certification and an unsafe step
+could be accepted (observed as a feasibility loss -> permanent ``ccd_step=0``
+livelock on 32+ robot scenes).
+
+Architecture (mirrors the reference's KDOP-then-GJK narrow phase,
+CCD.h:354-473 then :17-225, but with *every* pair certified):
+
+* Every (segment, obstacle) / (segment, robot-pair) gets a certified k-DOP
+  separation lower bound at each trial step — two tiny matmuls (hull
+  projections precomputed once per call) plus a fused broadcast-reduce.  A
+  pair whose k-DOP gap exceeds ``offset`` is provably clear; nothing is ever
+  excluded from this test, so certification is complete.
+* Pairs the k-DOP cannot clear get the exact (certified-lower-bound) GJK
+  test — but only a fixed number of slots per segment, selected ONCE per CCD
+  call by two complementary danger rankings: smallest k-DOP gap at the FULL
+  sweep (fast movers) and smallest gap at ZERO sweep (static near-contacts).
+  An uncleared, unselected pair simply makes the step inadmissible — strictly
+  conservative, never unsafe.
+* Admissibility is monotone in the step (the swept hull only grows), so the
+  0.8^k ladder can be bisected (solver/admm.py::ladder_bisect).
+
+All shapes are static; everything vmaps over robots and runs inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry as geo
+
+
+def _axes(dtype) -> jnp.ndarray:
+    return jnp.asarray(geo.kdop_axes(), dtype=dtype)   # [D,3] unit rows
+
+
+def _interval(proj: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(lo, hi) over the vertex axis of a projection [..., n, D]."""
+    return proj.min(axis=-2), proj.max(axis=-2)
+
+
+def _swept_interval(hp: jnp.ndarray, dp: jnp.ndarray, step) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k-DOP interval of the swept hull {P} u {P + step*D}, exact in step.
+
+    [..., n, D] projections -> [..., D] bounds; monotone: the interval only
+    widens as ``step`` grows."""
+    lo0, hi0 = _interval(hp)
+    lo1, hi1 = _interval(hp + step * dp)
+    return jnp.minimum(lo0, lo1), jnp.maximum(hi0, hi1)
+
+
+def _gap_point(lo, hi, pts_proj):
+    """k-DOP separation of points [N,D] vs intervals [...,D] -> [...,N].
+
+    max over axes of the one-sided gaps; > offset certifies clearance (each
+    axis is unit length).  Fused broadcast-reduce — the [...,N,D] intermediate
+    never materializes."""
+    g = jnp.maximum(
+        pts_proj - hi[..., None, :], lo[..., None, :] - pts_proj
+    )                                                   # [...,N,D]
+    return jnp.max(g, axis=-1)
+
+
+def _gap_interval(lo_a, hi_a, lo_b, hi_b):
+    """k-DOP separation of two interval sets (broadcasted), reduced over D."""
+    return jnp.max(jnp.maximum(lo_a - hi_b, lo_b - hi_a), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Obstacle CCD (segments vs point cloud)
+# ---------------------------------------------------------------------------
+
+
+class ObstacleCCD(NamedTuple):
+    hull: jnp.ndarray      # [B,P,R,n,3]
+    dhull: jnp.ndarray     # [B,P,R,n,3]
+    hp: jnp.ndarray        # [B,P,R,n,D] hull projections
+    dp: jnp.ndarray        # [B,P,R,n,D] direction projections
+    pts_proj: jnp.ndarray  # [N,D]
+    pmask: jnp.ndarray     # [N] bool
+    sel_idx: jnp.ndarray   # [B,P,R,S] selected obstacle ids (S = 2K)
+    sel_pts: jnp.ndarray   # [B,P,R,S,3]
+    sel_proj: jnp.ndarray  # [B,P,R,S,D]
+
+
+def build_obstacle_ccd(hull, dhull, points, pmask, k_gjk: int) -> ObstacleCCD:
+    """Precompute projections + the GJK slot selection (once per CCD call).
+
+    ``hull``/``dhull``: [B,P,R,n,3] (B = robot batch, 1 for single).
+    Slots: per segment, the ``k_gjk`` smallest k-DOP gaps at the full sweep
+    plus the ``k_gjk`` smallest at zero sweep (duplicates waste a slot but
+    keep shapes static)."""
+    ax = _axes(hull.dtype)
+    hp = hull @ ax.T                                     # [B,P,R,n,D]
+    dp = dhull @ ax.T
+    pts_proj = points @ ax.T                             # [N,D]
+
+    lo1, hi1 = _swept_interval(hp, dp, jnp.asarray(1.0, hull.dtype))
+    gap1 = _gap_point(lo1, hi1, pts_proj)                # [B,P,R,N]
+    lo0, hi0 = _interval(hp)
+    gap0 = _gap_point(lo0, hi0, pts_proj)
+    big = jnp.asarray(jnp.inf, hull.dtype)
+    gap1 = jnp.where(pmask, gap1, big)
+    gap0 = jnp.where(pmask, gap0, big)
+
+    k = min(k_gjk, points.shape[0])
+    _, idx1 = jax.lax.top_k(-gap1, k)                    # [B,P,R,k]
+    _, idx0 = jax.lax.top_k(-gap0, k)
+    sel = jnp.concatenate([idx1, idx0], axis=-1).astype(jnp.int32)
+    return ObstacleCCD(
+        hull=hull, dhull=dhull, hp=hp, dp=dp,
+        pts_proj=pts_proj, pmask=pmask,
+        sel_idx=sel, sel_pts=points[sel], sel_proj=pts_proj[sel],
+    )
+
+
+def obstacle_bad(tabs: ObstacleCCD, steps, offset, gjk_iters, pallas) -> jnp.ndarray:
+    """[B] bool: is any (segment, obstacle) pair of robot b uncertified at
+    that robot's step?  ``steps``: scalar or [B]."""
+    b, p, r, n, _ = tabs.hull.shape
+    s = jnp.broadcast_to(jnp.asarray(steps, tabs.hull.dtype), (b,))
+    s4 = s[:, None, None, None, None]                    # [B,1,1,1,1]
+    lo, hi = _swept_interval(tabs.hp, tabs.dp, s4)       # [B,P,R,D]
+    gap = _gap_point(lo, hi, tabs.pts_proj)              # [B,P,R,N]
+    kdop_ok = (gap > offset) | ~tabs.pmask
+
+    # mark the selected slots as covered by GJK
+    cover = jnp.zeros(kdop_ok.shape, bool)
+    cover = _scatter_true(cover, tabs.sel_idx)
+
+    swept = jnp.concatenate([tabs.hull, tabs.hull + s4 * tabs.dhull], axis=-2)
+    diff = (
+        swept[:, :, :, None] - tabs.sel_pts[..., None, :]
+    ).reshape(-1, 2 * n, 3)                              # [B*P*R*S, 2n, 3]
+    lb = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
+    sel_ok = (lb > offset).reshape(tabs.sel_idx.shape)   # [B,P,R,S]
+    sel_pm = tabs.pmask[tabs.sel_idx]
+    sel_bad_any = jnp.any(~sel_ok & sel_pm, axis=(-1, -2, -3))  # [B]
+
+    unsel_bad = jnp.any(~kdop_ok & ~cover, axis=(-1, -2, -3))   # [B]
+    return sel_bad_any | unsel_bad
+
+
+def _scatter_true(dest: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """dest [..., N] bool with True at idx [..., S] per leading index."""
+    flat_dest = dest.reshape(-1, dest.shape[-1])
+    flat_idx = idx.reshape(-1, idx.shape[-1])
+    out = jax.vmap(lambda d, i: d.at[i].set(True))(flat_dest, flat_idx)
+    return out.reshape(dest.shape)
+
+
+# ---------------------------------------------------------------------------
+# Robot-pair CCD (equal-time segment hulls vs each other)
+# ---------------------------------------------------------------------------
+
+
+class PairCCD(NamedTuple):
+    my_hull: jnp.ndarray    # [U,P,R,n,3]
+    my_dhull: jnp.ndarray
+    my_hp: jnp.ndarray      # [U,P,R,n,D]
+    my_dp: jnp.ndarray
+    all_hp: jnp.ndarray     # [Ut,P,R,n,D]
+    all_dp: jnp.ndarray
+    sel_ids: jnp.ndarray    # [U,P,R,S] partner global robot id
+    sel_hulls: jnp.ndarray  # [U,P,R,S,n,3]
+    sel_dhulls: jnp.ndarray
+    not_self: jnp.ndarray   # [U,Ut] bool
+
+
+def build_pair_ccd(
+    my_hulls, my_dhulls, all_hulls, all_dhulls, gids, k_gjk: int
+) -> PairCCD:
+    """``my_*``: [U,P,R,n,3] local robots; ``all_*``: [Ut,...] gathered fleet;
+    ``gids``: [U] global ids of the local robots (for self-pair exclusion)."""
+    ax = _axes(my_hulls.dtype)
+    my_hp, my_dp = my_hulls @ ax.T, my_dhulls @ ax.T
+    all_hp, all_dp = all_hulls @ ax.T, all_dhulls @ ax.T
+    u, ut = my_hulls.shape[0], all_hulls.shape[0]
+    not_self = gids[:, None] != jnp.arange(ut, dtype=gids.dtype)[None, :]
+
+    one = jnp.asarray(1.0, my_hulls.dtype)
+    lo_a1, hi_a1 = _swept_interval(my_hp, my_dp, one)      # [U,P,R,D]
+    lo_b1, hi_b1 = _swept_interval(all_hp, all_dp, one)    # [Ut,P,R,D]
+    gap1 = _gap_interval(
+        lo_a1[:, None], hi_a1[:, None], lo_b1[None], hi_b1[None]
+    )                                                      # [U,Ut,P,R]
+    lo_a0, hi_a0 = _interval(my_hp)
+    lo_b0, hi_b0 = _interval(all_hp)
+    gap0 = _gap_interval(lo_a0[:, None], hi_a0[:, None], lo_b0[None], hi_b0[None])
+    big = jnp.asarray(jnp.inf, my_hulls.dtype)
+    bad_pair = ~not_self[:, :, None, None]
+    gap1 = jnp.where(bad_pair, big, gap1)
+    gap0 = jnp.where(bad_pair, big, gap0)
+
+    k = min(k_gjk, max(ut - 1, 1))
+    m1 = jnp.moveaxis(gap1, 1, -1)                         # [U,P,R,Ut]
+    m0 = jnp.moveaxis(gap0, 1, -1)
+    _, idx1 = jax.lax.top_k(-m1, k)
+    _, idx0 = jax.lax.top_k(-m0, k)
+    sel = jnp.concatenate([idx1, idx0], axis=-1).astype(jnp.int32)  # [U,P,R,S]
+
+    def gather_other(arr):                                  # [Ut,P,R,n,3]
+        moved = jnp.moveaxis(arr, 0, 2)                     # [P,R,Ut,n,3]
+        return jnp.take_along_axis(
+            jnp.broadcast_to(moved[None], (u,) + moved.shape),
+            sel[..., None, None],
+            axis=3,
+        )
+
+    return PairCCD(
+        my_hull=my_hulls, my_dhull=my_dhulls,
+        my_hp=my_hp, my_dp=my_dp, all_hp=all_hp, all_dp=all_dp,
+        sel_ids=sel,
+        sel_hulls=gather_other(all_hulls), sel_dhulls=gather_other(all_dhulls),
+        not_self=not_self,
+    )
+
+
+def pair_bad(tabs: PairCCD, my_steps, all_steps, offset, gjk_iters, pallas) -> jnp.ndarray:
+    """[U] bool: any uncertified pair involving each local robot, with
+    per-robot step intervals [0, s_i] x [0, s_j] (Step::self_step /
+    couple_self_step semantics)."""
+    u, p, r, n, _ = tabs.my_hull.shape
+    ut = tabs.all_hp.shape[0]
+    sm = my_steps[:, None, None, None, None]
+    sa = all_steps[:, None, None, None, None]
+
+    lo_a, hi_a = _swept_interval(tabs.my_hp, tabs.my_dp, sm)
+    lo_b, hi_b = _swept_interval(tabs.all_hp, tabs.all_dp, sa)
+    gap = _gap_interval(
+        lo_a[:, None], hi_a[:, None], lo_b[None], hi_b[None]
+    )                                                       # [U,Ut,P,R]
+    kdop_ok = (gap > offset) | ~tabs.not_self[:, :, None, None]
+
+    cover = jnp.zeros((u, p, r, ut), bool)
+    cover = _scatter_true(cover, tabs.sel_ids)              # [U,P,R,Ut]
+    cover = jnp.moveaxis(cover, -1, 1)                      # [U,Ut,P,R]
+    unsel_bad = jnp.any(~kdop_ok & ~cover, axis=(1, 2, 3))  # [U]
+
+    sel_steps = all_steps[tabs.sel_ids]                     # [U,P,R,S]
+    swept_a = jnp.concatenate(
+        [tabs.my_hull, tabs.my_hull + sm * tabs.my_dhull], axis=-2
+    )                                                       # [U,P,R,2n,3]
+    so = sel_steps[..., None, None]
+    swept_b = jnp.concatenate(
+        [tabs.sel_hulls, tabs.sel_hulls + so * tabs.sel_dhulls], axis=-2
+    )                                                       # [U,P,R,S,2n,3]
+    diff = (
+        swept_a[:, :, :, None, :, None, :] - swept_b[:, :, :, :, None, :, :]
+    ).reshape(-1, 4 * n * n, 3)
+    lb = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
+    sel_ok = (lb > offset).reshape(tabs.sel_ids.shape)
+    sel_real = tabs.not_self[
+        jnp.arange(u)[:, None, None, None], tabs.sel_ids
+    ]
+    sel_bad = jnp.any(~sel_ok & sel_real, axis=(1, 2, 3))   # [U]
+    return unsel_bad | sel_bad

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..config import TrajOptConfig
 from ..types import Planes, Scene, SolverState, SplineConsts, StepDiag
 from ..ops import broadphase as bp
+from ..ops import ccd as ccd_ops
 from ..ops import energies as en
 from ..ops import geometry as geo
 from ..ops import gradients as gr
@@ -174,30 +175,21 @@ def ccd_step(
 ) -> jnp.ndarray:
     """Largest step of the form 0.8^k whose swept control hulls provably keep
     clearance > offset from all obstacle points (Step::position_step,
-    Step.h:21-110; the interval [0, 0.8^k] shrinks monotonically so testing
-    the whole ladder at once matches the reference's sequential shrink)."""
-    hull = en.seg_cps(consts, spline)                       # [P,R,n,3]
-    dhull = en.seg_cps(consts, direction)
-    swept_full = geo.swept_hull(hull, dhull, jnp.asarray(1.0, hull.dtype))
-    cand = bp.topk_candidates(swept_full, scene, cfg.offset + 1e-3,
-                              cfg.max_ccd_candidates,
-                              coarse_k=cfg.broadphase_coarse_k)
-    pts = scene.points[cand.idx]                            # [P,R,K,3]
-
-    p, r, k, _ = pts.shape
-    n = hull.shape[-2]
-    hull_f = hull.reshape(p * r, n, 3)
-    dhull_f = dhull.reshape(p * r, n, 3)
-    pts_f = pts.reshape(p * r, k, 3)
-    mask_f = cand.mask.reshape(p * r, k)
-    steps = step_candidates(cfg, spline.dtype)              # [S]
+    Step.h:21-110; the interval [0, 0.8^k] shrinks monotonically so the
+    ladder is bisected).  Sound for EVERY obstacle: exhaustive k-DOP
+    certification + selective GJK (ops/ccd.py)."""
+    hull = en.seg_cps(consts, spline)[None]                 # [1,P,R,n,3]
+    dhull = en.seg_cps(consts, direction)[None]
+    tabs = ccd_ops.build_obstacle_ccd(
+        hull, dhull, scene.points, scene.mask, cfg.max_ccd_candidates
+    )
     pallas = geo.use_pallas_gjk(cfg, spline.dtype)
+    steps = step_candidates(cfg, spline.dtype)              # [S]
 
     def any_collision(step):
-        swept = jnp.concatenate([hull_f, hull_f + step * dhull_f], axis=1)  # [S2,2n,3]
-        diff = (swept[:, None] - pts_f[:, :, None]).reshape(-1, 2 * n, 3)
-        lb = geo.batched_origin_dist(diff, cfg.gjk_iters, pallas).lb
-        return jnp.any(mask_f.reshape(-1) & ~(lb > cfg.offset))
+        return jnp.any(
+            ccd_ops.obstacle_bad(tabs, step, cfg.offset, cfg.gjk_iters, pallas)
+        )
 
     # common case: the full step is already clear — otherwise bisect the
     # ladder (monotone admissibility) in ~7 single-step collision passes

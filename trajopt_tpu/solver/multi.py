@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..config import TrajOptConfig
 from ..types import Planes, Scene, SolverState, SplineConsts, StepDiag, concat_planes
 from ..ops import broadphase as bp
+from ..ops import ccd as ccd_ops
 from ..ops import energies as en
 from ..ops import geometry as geo
 from ..ops import gradients as gr
@@ -149,134 +150,54 @@ def self_planes(
 # ---------------------------------------------------------------------------
 
 
-def _obstacle_ccd_tables(consts, cfg, splines, directions, scene):
-    """Per-robot fixed-K CCD candidate tables at the full direction."""
-    def per_robot(s, d):
-        hull = en.seg_cps(consts, s)
-        dhull = en.seg_cps(consts, d)
-        swept = geo.swept_hull(hull, dhull, jnp.asarray(1.0, s.dtype))
-        cand = bp.topk_candidates(swept, scene, cfg.offset + 1e-3,
-                                  cfg.max_ccd_candidates,
-                                  coarse_k=cfg.broadphase_coarse_k)
-        return hull, dhull, scene.points[cand.idx], cand.mask
-
-    return jax.vmap(per_robot)(splines, directions)
-
-
-def _obstacle_collision(cfg, hulls, dhulls, pts, masks, steps):
-    """[U] bool: any obstacle CCD violation per robot at that robot's step.
-
-    One flat-batched GJK lower-bound pass over all (robot, segment, candidate)
-    tuples (Pallas-fused on TPU)."""
-    u, n = hulls.shape[0], hulls.shape[-2]
-    hf = hulls.reshape(u, -1, n, 3)
-    df = dhulls.reshape(u, -1, n, 3)
-    pf = pts.reshape(u, hf.shape[1], -1, 3)
-    mf = masks.reshape(u, hf.shape[1], -1)
-    k = pf.shape[2]
-
-    s = steps[:, None, None, None]
-    swept = jnp.concatenate([hf, hf + s * df], axis=2)      # [U,S,2n,3]
-    diff = (swept[:, :, None] - pf[..., None, :]).reshape(-1, 2 * n, 3)
-    lb = geo.batched_origin_dist(
-        diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, hulls.dtype)
-    ).lb
-    bad = mf.reshape(u, -1) & ~(lb > cfg.offset).reshape(u, -1)
-    return jnp.any(bad, axis=1)
-
-
-class _SelfCCDTables(NamedTuple):
-    my_hulls: jnp.ndarray     # [U,P,R,n,3]
-    my_dhulls: jnp.ndarray
-    other_hulls: jnp.ndarray  # [U,P,R,Ks,n,3]
-    other_dhulls: jnp.ndarray
-    other_ids: jnp.ndarray    # [U,P,R,Ks] global robot id
-    mask: jnp.ndarray         # [U,P,R,Ks]
-
-
-def _self_ccd_tables(consts, cfg, splines, directions, axis_name):
-    """Candidate robot pairs for CCD using swept-hull AABBs at full step."""
+def _build_ccd(consts, cfg, splines, directions, scene, axis_name):
+    """Obstacle + robot-pair CCD tables (ops/ccd.py — sound for every pair)."""
     u_local = splines.shape[0]
     my_hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)
     my_dhulls = jax.vmap(lambda s: en.seg_cps(consts, s))(directions)
-    swept = geo.swept_hull(my_hulls, my_dhulls, jnp.asarray(1.0, splines.dtype))
-    all_swept = _gather_robots(swept, axis_name)
+    obs = ccd_ops.build_obstacle_ccd(
+        my_hulls, my_dhulls, scene.points, scene.mask, cfg.max_ccd_candidates
+    )
     all_hulls = _gather_robots(my_hulls, axis_name)
     all_dhulls = _gather_robots(my_dhulls, axis_name)
-    u_total = all_swept.shape[0]
-    ks = min(cfg.max_self_planes, max(u_total - 1, 1))
-
-    lo_a, hi_a = bp.hull_aabbs(swept)
-    lo_b, hi_b = bp.hull_aabbs(all_swept)
-    gap = jnp.maximum(
-        lo_a[:, None] - hi_b[None], jnp.maximum(lo_b[None] - hi_a[:, None], 0.0)
-    )
-    d2 = jnp.sum(gap * gap, axis=-1)                                # [U,Ut,P,R]
     gids = _robot_offset(u_local, axis_name) + jnp.arange(u_local, dtype=jnp.int32)
-    is_self = gids[:, None] == jnp.arange(u_total, dtype=jnp.int32)[None, :]
-    d2 = jnp.where(is_self[:, :, None, None], jnp.inf, d2)
-    d2 = jnp.moveaxis(d2, 1, -1)                                    # [U,P,R,Ut]
-    radius = cfg.offset + 1e-3
-    neg, idx = jax.lax.top_k(-d2, ks)
-    mask = (-neg) <= radius * radius
+    ks = min(cfg.max_self_planes, max(all_hulls.shape[0] - 1, 1))
+    pair = ccd_ops.build_pair_ccd(
+        my_hulls, my_dhulls, all_hulls, all_dhulls, gids, ks
+    )
+    return obs, pair
 
-    def gather_other(arr):
-        # arr [Ut,P,R,n,3] -> [U,P,R,ks,n,3] via idx
-        moved = jnp.moveaxis(arr, 0, 2)                             # [P,R,Ut,n,3]
-        return jnp.take_along_axis(
-            jnp.broadcast_to(moved[None], (u_local,) + moved.shape),
-            idx[..., None, None],
-            axis=3,
-        )
 
-    return _SelfCCDTables(
-        my_hulls=my_hulls,
-        my_dhulls=my_dhulls,
-        other_hulls=gather_other(all_hulls),
-        other_dhulls=gather_other(all_dhulls),
-        other_ids=idx.astype(jnp.int32),
-        mask=mask,
+def _obstacle_collision(cfg, obs_tabs, steps):
+    """[U] bool: any uncertified (segment, obstacle) pair per robot."""
+    return ccd_ops.obstacle_bad(
+        obs_tabs, steps, cfg.offset, cfg.gjk_iters,
+        geo.use_pallas_gjk(cfg, obs_tabs.hull.dtype),
     )
 
 
-def _self_collision(cfg, tabs: _SelfCCDTables, my_steps, all_steps):
-    """[U] bool: any pairwise CCD violation involving each local robot, with
+def _self_collision(cfg, pair_tabs, my_steps, all_steps):
+    """[U] bool: any uncertified pair involving each local robot, with
     per-robot step intervals ([0,s_i] vs [0,s_j], Step::self_step semantics)."""
-    other_steps = all_steps[tabs.other_ids]                         # [U,P,R,Ks]
-    u, p, r, ks = tabs.mask.shape
-    n = tabs.my_hulls.shape[-2]
-    s_mine = my_steps[:, None, None, None, None]                    # [U,1,1,1,1]
-    sa = jnp.concatenate(
-        [tabs.my_hulls, tabs.my_hulls + s_mine * tabs.my_dhulls], axis=-2
-    )                                                               # [U,P,R,2n,3]
-    s_other = other_steps[..., None, None]                          # [U,P,R,Ks,1,1]
-    sb = jnp.concatenate(
-        [tabs.other_hulls, tabs.other_hulls + s_other * tabs.other_dhulls], axis=-2
-    )                                                               # [U,P,R,Ks,2n,3]
-    diff = (
-        sa[:, :, :, None, :, None, :] - sb[:, :, :, :, None, :, :]
-    ).reshape(-1, 4 * n * n, 3)
-    lb = geo.batched_origin_dist(
-        diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, sa.dtype)
-    ).lb
-    bad = tabs.mask.reshape(u, -1) & ~(lb > cfg.offset).reshape(u, -1)
-    return jnp.any(bad, axis=1)
+    return ccd_ops.pair_bad(
+        pair_tabs, my_steps, all_steps, cfg.offset, cfg.gjk_iters,
+        geo.use_pallas_gjk(cfg, pair_tabs.my_hull.dtype),
+    )
 
 
 def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
     """One fleet-wide scalar step (Step::couple_self_step + per-robot
     position_step min-reduce, Optimization3D_multi.h:586-594): the whole
     0.8^k ladder is tested in one batched pass (monotone in k)."""
-    hulls, dhulls, pts, masks = _obstacle_ccd_tables(consts, cfg, splines, directions, scene)
-    tabs = _self_ccd_tables(consts, cfg, splines, directions, axis_name)
+    obs_tabs, pair_tabs = _build_ccd(consts, cfg, splines, directions, scene, axis_name)
     u = splines.shape[0]
     ladder = admm.step_candidates(cfg, splines.dtype)       # [S]
 
     def collides_local(step):
         steps = jnp.full((u,), step, dtype=splines.dtype)
         all_steps_t = _gather_robots(steps, axis_name)
-        obs = _obstacle_collision(cfg, hulls, dhulls, pts, masks, steps)
-        slf = _self_collision(cfg, tabs, steps, all_steps_t)
+        obs = _obstacle_collision(cfg, obs_tabs, steps)
+        slf = _self_collision(cfg, pair_tabs, steps, all_steps_t)
         return jnp.any(obs | slf)
 
     def admissible(s):
@@ -296,19 +217,18 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
     parallel per robot; the pairwise part stays a fixpoint loop because the
     collision predicate couples both robots' current steps."""
     u = splines.shape[0]
-    hulls, dhulls, pts, masks = _obstacle_ccd_tables(consts, cfg, splines, directions, scene)
-    tabs = _self_ccd_tables(consts, cfg, splines, directions, axis_name)
+    obs_tabs, pair_tabs = _build_ccd(consts, cfg, splines, directions, scene, axis_name)
 
     def cond(carry):
         steps, i = carry
         all_steps = _gather_robots(steps, axis_name)
-        bad = _self_collision(cfg, tabs, steps, all_steps)
+        bad = _self_collision(cfg, pair_tabs, steps, all_steps)
         return (i < cfg.max_line_search) & _gany(bad, axis_name)
 
     def body(carry):
         steps, i = carry
         all_steps = _gather_robots(steps, axis_name)
-        bad = _self_collision(cfg, tabs, steps, all_steps)
+        bad = _self_collision(cfg, pair_tabs, steps, all_steps)
         return jnp.where(bad, steps * _SHRINK, steps), i + 1
 
     steps, _ = jax.lax.while_loop(
@@ -323,8 +243,7 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
             lo, hi = carry                                  # [U] ints
             mid = (lo + hi) // 2
             bad = _obstacle_collision(
-                cfg, hulls, dhulls, pts, masks,
-                admm._SHRINK ** mid.astype(splines.dtype),
+                cfg, obs_tabs, admm._SHRINK ** mid.astype(splines.dtype)
             )
             return jnp.where(bad, mid, lo), jnp.where(bad, hi, mid)
 
@@ -336,7 +255,7 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
 
     ones = jnp.ones((u,), splines.dtype)
     obs_steps = jax.lax.cond(
-        jnp.any(_obstacle_collision(cfg, hulls, dhulls, pts, masks, ones)),
+        jnp.any(_obstacle_collision(cfg, obs_tabs, ones)),
         obs_bisect,
         lambda _: ones,
         operand=None,
