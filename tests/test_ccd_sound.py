@@ -38,7 +38,7 @@ class TestObstacleSoundness:
         return ccd_ops.build_obstacle_ccd(
             jnp.asarray(hull)[None, None, None],
             jnp.asarray(dhull)[None, None, None],
-            jnp.asarray(pts), pmask, k,
+            jnp.asarray(pts), pmask, k, 0.1,
         )
 
     def test_overflow_wall_is_flagged(self):
@@ -87,7 +87,7 @@ class TestObstacleSoundness:
         tabs = ccd_ops.build_obstacle_ccd(
             jnp.asarray(hull)[None, None, None],
             jnp.asarray(dhull)[None, None, None],
-            jnp.asarray(pts), pmask, 2,
+            jnp.asarray(pts), pmask, 2, 0.1,
         )
         assert not bool(ccd_ops.obstacle_bad(tabs, jnp.asarray(1.0), 0.1, 32, False).any())
 

@@ -23,6 +23,16 @@ CCD.h:354-473 then :17-225, but with *every* pair certified):
 * Admissibility is monotone in the step (the swept hull only grows), so the
   0.8^k ladder can be bisected (solver/admm.py::ladder_bisect).
 
+Fast paths (performance, not soundness):
+
+* Points whose k-DOP gap at the FULL sweep already exceeds ``offset`` are
+  clear at every sub-step (the swept hull only shrinks), so the per-trial
+  k-DOP pass runs only over a fixed subset of full-sweep-dangerous points.
+  If that subset overflows, a `lax.cond` falls back to the full-cloud pass —
+  still sound, just slower (typical only during early large sweeps).
+* The GJK batches are `lax.cond`-gated on actual k-DOP danger among the
+  selected slots; steady-state CCD calls skip GJK entirely.
+
 All shapes are static; everything vmaps over robots and runs inside jit.
 """
 
@@ -32,7 +42,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import geometry as geo
 
@@ -57,7 +66,7 @@ def _swept_interval(hp: jnp.ndarray, dp: jnp.ndarray, step) -> tuple[jnp.ndarray
 
 
 def _gap_point(lo, hi, pts_proj):
-    """k-DOP separation of points [N,D] vs intervals [...,D] -> [...,N].
+    """k-DOP separation of points [...,N,D] vs intervals [...,D] -> [...,N].
 
     max over axes of the one-sided gaps; > offset certifies clearance (each
     axis is unit length).  Fused broadcast-reduce — the [...,N,D] intermediate
@@ -73,9 +82,22 @@ def _gap_interval(lo_a, hi_a, lo_b, hi_b):
     return jnp.max(jnp.maximum(lo_a - hi_b, lo_b - hi_a), axis=-1)
 
 
+def _first_occurrence(idx: jnp.ndarray) -> jnp.ndarray:
+    """[..., S] bool: True where idx[..., j] is the first occurrence of its
+    value along the last axis.  Used for exact count-based slot coverage
+    (TPU-friendly — no scatters)."""
+    s = idx.shape[-1]
+    eq = idx[..., :, None] == idx[..., None, :]            # [..., S, S]
+    earlier = jnp.tril(jnp.ones((s, s), bool), k=-1)
+    return ~jnp.any(eq & earlier, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Obstacle CCD (segments vs point cloud)
 # ---------------------------------------------------------------------------
+
+
+_SUBSET = 64  # per-trial k-DOP subset size (beyond the GJK slots)
 
 
 class ObstacleCCD(NamedTuple):
@@ -85,22 +107,28 @@ class ObstacleCCD(NamedTuple):
     dp: jnp.ndarray        # [B,P,R,n,D] direction projections
     pts_proj: jnp.ndarray  # [N,D]
     pmask: jnp.ndarray     # [N] bool
-    sel_idx: jnp.ndarray   # [B,P,R,S] selected obstacle ids (S = 2K)
+    sel_idx: jnp.ndarray   # [B,P,R,S] GJK slot obstacle ids (S = 2K)
     sel_pts: jnp.ndarray   # [B,P,R,S,3]
     sel_proj: jnp.ndarray  # [B,P,R,S,D]
+    sel_pm: jnp.ndarray    # [B,P,R,S] live-point mask of the slots
+    sel_uniq: jnp.ndarray  # [B,P,R,S] first-occurrence mask (exact counting)
+    sub_proj: jnp.ndarray  # [B,P,R,M,D] per-trial k-DOP subset projections
+    sub_need: jnp.ndarray  # [B,P,R,M] subset entries that must pass k-DOP
+    overflow: jnp.ndarray  # [] bool: subset missed a dangerous point
+    offset: float
 
 
-def build_obstacle_ccd(hull, dhull, points, pmask, k_gjk: int) -> ObstacleCCD:
-    """Precompute projections + the GJK slot selection (once per CCD call).
+def build_obstacle_ccd(hull, dhull, points, pmask, k_gjk: int, offset: float) -> ObstacleCCD:
+    """Precompute projections, GJK slots, and the per-trial k-DOP subset.
 
     ``hull``/``dhull``: [B,P,R,n,3] (B = robot batch, 1 for single).
-    Slots: per segment, the ``k_gjk`` smallest k-DOP gaps at the full sweep
-    plus the ``k_gjk`` smallest at zero sweep (duplicates waste a slot but
-    keep shapes static)."""
+    GJK slots: per segment, the ``k_gjk`` smallest k-DOP gaps at the full
+    sweep plus the ``k_gjk`` smallest at zero sweep."""
     ax = _axes(hull.dtype)
     hp = hull @ ax.T                                     # [B,P,R,n,D]
     dp = dhull @ ax.T
     pts_proj = points @ ax.T                             # [N,D]
+    n_pts = points.shape[0]
 
     lo1, hi1 = _swept_interval(hp, dp, jnp.asarray(1.0, hull.dtype))
     gap1 = _gap_point(lo1, hi1, pts_proj)                # [B,P,R,N]
@@ -110,14 +138,34 @@ def build_obstacle_ccd(hull, dhull, points, pmask, k_gjk: int) -> ObstacleCCD:
     gap1 = jnp.where(pmask, gap1, big)
     gap0 = jnp.where(pmask, gap0, big)
 
-    k = min(k_gjk, points.shape[0])
-    _, idx1 = jax.lax.top_k(-gap1, k)                    # [B,P,R,k]
+    k = min(k_gjk, n_pts)
+    m = min(max(_SUBSET, k), n_pts)
+    _, sub1 = jax.lax.top_k(-gap1, m)                    # most full-sweep danger
+    idx1 = sub1[..., :k]                                 # [B,P,R,k]
     _, idx0 = jax.lax.top_k(-gap0, k)
     sel = jnp.concatenate([idx1, idx0], axis=-1).astype(jnp.int32)
+
+    sub = jnp.concatenate([sub1.astype(jnp.int32), idx0.astype(jnp.int32)], axis=-1)
+    # dangerous points not in the subset => must fall back to the full pass.
+    # sub1 holds the m SMALLEST gap1 values, so every gap1<=offset point is
+    # inside it iff the per-segment danger count is at most m.
+    overflow = jnp.any(
+        jnp.sum((gap1 <= offset) & pmask, axis=-1) > m
+    )
+    # subset entries already covered by a GJK slot need not pass k-DOP
+    dup = jnp.any(
+        sub1[..., :, None] == sel[..., None, :], axis=-1
+    )                                                    # [B,P,R,m]
+    sub_need = jnp.concatenate(
+        [pmask[sub1] & ~dup, jnp.zeros(idx0.shape, bool)], axis=-1
+    )
     return ObstacleCCD(
         hull=hull, dhull=dhull, hp=hp, dp=dp,
         pts_proj=pts_proj, pmask=pmask,
         sel_idx=sel, sel_pts=points[sel], sel_proj=pts_proj[sel],
+        sel_pm=pmask[sel], sel_uniq=_first_occurrence(sel),
+        sub_proj=pts_proj[sub], sub_need=sub_need,
+        overflow=overflow, offset=offset,
     )
 
 
@@ -126,34 +174,44 @@ def obstacle_bad(tabs: ObstacleCCD, steps, offset, gjk_iters, pallas) -> jnp.nda
     that robot's step?  ``steps``: scalar or [B]."""
     b, p, r, n, _ = tabs.hull.shape
     s = jnp.broadcast_to(jnp.asarray(steps, tabs.hull.dtype), (b,))
-    s4 = s[:, None, None, None, None]                    # [B,1,1,1,1]
-    lo, hi = _swept_interval(tabs.hp, tabs.dp, s4)       # [B,P,R,D]
-    gap = _gap_point(lo, hi, tabs.pts_proj)              # [B,P,R,N]
-    kdop_ok = (gap > offset) | ~tabs.pmask
+    s5 = s[:, None, None, None, None]                    # [B,1,1,1,1]
+    lo, hi = _swept_interval(tabs.hp, tabs.dp, s5)       # [B,P,R,D]
 
-    # mark the selected slots as covered by GJK
-    cover = jnp.zeros(kdop_ok.shape, bool)
-    cover = _scatter_true(cover, tabs.sel_idx)
+    g_sel = _gap_point(lo, hi, tabs.sel_proj)            # [B,P,R,S] (gathered)
 
-    swept = jnp.concatenate([tabs.hull, tabs.hull + s4 * tabs.dhull], axis=-2)
-    diff = (
-        swept[:, :, :, None] - tabs.sel_pts[..., None, :]
-    ).reshape(-1, 2 * n, 3)                              # [B*P*R*S, 2n, 3]
-    lb = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
-    sel_ok = (lb > offset).reshape(tabs.sel_idx.shape)   # [B,P,R,S]
-    sel_pm = tabs.pmask[tabs.sel_idx]
-    sel_bad_any = jnp.any(~sel_ok & sel_pm, axis=(-1, -2, -3))  # [B]
+    # --- k-DOP certification of everything outside the GJK slots ---
+    def subset_pass(_):
+        g = _gap_point(lo, hi, tabs.sub_proj)            # [B,P,R,M] (gathered)
+        return jnp.any(tabs.sub_need & ~(g > offset), axis=(-1, -2, -3))
 
-    unsel_bad = jnp.any(~kdop_ok & ~cover, axis=(-1, -2, -3))   # [B]
-    return sel_bad_any | unsel_bad
+    def full_pass(_):
+        # count-based slot coverage (exact, no scatters): uncertified points
+        # minus those covered by a unique GJK slot
+        g = _gap_point(lo, hi, tabs.pts_proj)            # [B,P,R,N]
+        n_bad = jnp.sum(tabs.pmask & ~(g > offset), axis=-1)
+        n_cov = jnp.sum(
+            tabs.sel_pm & tabs.sel_uniq & ~(g_sel > offset), axis=-1
+        )
+        return jnp.any(n_bad > n_cov, axis=(-1, -2))
 
+    kdop_bad = jax.lax.cond(tabs.overflow, full_pass, subset_pass, operand=None)
 
-def _scatter_true(dest: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """dest [..., N] bool with True at idx [..., S] per leading index."""
-    flat_dest = dest.reshape(-1, dest.shape[-1])
-    flat_idx = idx.reshape(-1, idx.shape[-1])
-    out = jax.vmap(lambda d, i: d.at[i].set(True))(flat_dest, flat_idx)
-    return out.reshape(dest.shape)
+    # --- GJK on the slots, gated on actual k-DOP danger among them ---
+    danger = tabs.sel_pm & ~(g_sel > offset)
+
+    def run_gjk(_):
+        swept = jnp.concatenate([tabs.hull, tabs.hull + s5 * tabs.dhull], axis=-2)
+        diff = (
+            swept[:, :, :, None] - tabs.sel_pts[..., None, :]
+        ).reshape(-1, 2 * n, 3)                          # [B*P*R*S, 2n, 3]
+        lb = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
+        ok = (lb > offset).reshape(tabs.sel_idx.shape)
+        return jnp.any(danger & ~ok, axis=(-1, -2, -3))  # [B]
+
+    gjk_bad = jax.lax.cond(
+        jnp.any(danger), run_gjk, lambda _: jnp.zeros((b,), bool), operand=None
+    )
+    return kdop_bad | gjk_bad
 
 
 # ---------------------------------------------------------------------------
@@ -169,6 +227,7 @@ class PairCCD(NamedTuple):
     all_hp: jnp.ndarray     # [Ut,P,R,n,D]
     all_dp: jnp.ndarray
     sel_ids: jnp.ndarray    # [U,P,R,S] partner global robot id
+    sel_uniq: jnp.ndarray   # [U,P,R,S] first-occurrence mask
     sel_hulls: jnp.ndarray  # [U,P,R,S,n,3]
     sel_dhulls: jnp.ndarray
     not_self: jnp.ndarray   # [U,Ut] bool
@@ -217,7 +276,7 @@ def build_pair_ccd(
     return PairCCD(
         my_hull=my_hulls, my_dhull=my_dhulls,
         my_hp=my_hp, my_dp=my_dp, all_hp=all_hp, all_dp=all_dp,
-        sel_ids=sel,
+        sel_ids=sel, sel_uniq=_first_occurrence(sel),
         sel_hulls=gather_other(all_hulls), sel_dhulls=gather_other(all_dhulls),
         not_self=not_self,
     )
@@ -239,26 +298,37 @@ def pair_bad(tabs: PairCCD, my_steps, all_steps, offset, gjk_iters, pallas) -> j
     )                                                       # [U,Ut,P,R]
     kdop_ok = (gap > offset) | ~tabs.not_self[:, :, None, None]
 
-    cover = jnp.zeros((u, p, r, ut), bool)
-    cover = _scatter_true(cover, tabs.sel_ids)              # [U,P,R,Ut]
-    cover = jnp.moveaxis(cover, -1, 1)                      # [U,Ut,P,R]
-    unsel_bad = jnp.any(~kdop_ok & ~cover, axis=(1, 2, 3))  # [U]
-
-    sel_steps = all_steps[tabs.sel_ids]                     # [U,P,R,S]
-    swept_a = jnp.concatenate(
-        [tabs.my_hull, tabs.my_hull + sm * tabs.my_dhull], axis=-2
-    )                                                       # [U,P,R,2n,3]
-    so = sel_steps[..., None, None]
-    swept_b = jnp.concatenate(
-        [tabs.sel_hulls, tabs.sel_hulls + so * tabs.sel_dhulls], axis=-2
-    )                                                       # [U,P,R,S,2n,3]
-    diff = (
-        swept_a[:, :, :, None, :, None, :] - swept_b[:, :, :, :, None, :, :]
-    ).reshape(-1, 4 * n * n, 3)
-    lb = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
-    sel_ok = (lb > offset).reshape(tabs.sel_ids.shape)
+    sel_gap = jnp.take_along_axis(
+        jnp.moveaxis(gap, 1, -1), tabs.sel_ids, axis=-1
+    )                                                       # [U,P,R,S]
     sel_real = tabs.not_self[
         jnp.arange(u)[:, None, None, None], tabs.sel_ids
     ]
-    sel_bad = jnp.any(~sel_ok & sel_real, axis=(1, 2, 3))   # [U]
-    return unsel_bad | sel_bad
+    # count-based slot coverage (exact, no scatters)
+    n_bad = jnp.sum(~kdop_ok, axis=(1,))                    # [U,P,R]
+    n_cov = jnp.sum(tabs.sel_uniq & sel_real & ~(sel_gap > offset), axis=-1)
+    unsel_bad = jnp.any(n_bad > n_cov, axis=(-1, -2))       # [U]
+
+    # GJK on the slots, gated on k-DOP danger among them
+    danger = sel_real & ~(sel_gap > offset)
+
+    def run_gjk(_):
+        sel_steps = all_steps[tabs.sel_ids]                 # [U,P,R,S]
+        swept_a = jnp.concatenate(
+            [tabs.my_hull, tabs.my_hull + sm * tabs.my_dhull], axis=-2
+        )                                                   # [U,P,R,2n,3]
+        so = sel_steps[..., None, None]
+        swept_b = jnp.concatenate(
+            [tabs.sel_hulls, tabs.sel_hulls + so * tabs.sel_dhulls], axis=-2
+        )                                                   # [U,P,R,S,2n,3]
+        diff = (
+            swept_a[:, :, :, None, :, None, :] - swept_b[:, :, :, :, None, :, :]
+        ).reshape(-1, 4 * n * n, 3)
+        lb = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
+        ok = (lb > offset).reshape(tabs.sel_ids.shape)
+        return jnp.any(danger & ~ok, axis=(1, 2, 3))        # [U]
+
+    gjk_bad = jax.lax.cond(
+        jnp.any(danger), run_gjk, lambda _: jnp.zeros((u,), bool), operand=None
+    )
+    return unsel_bad | gjk_bad

@@ -181,7 +181,7 @@ def ccd_step(
     hull = en.seg_cps(consts, spline)[None]                 # [1,P,R,n,3]
     dhull = en.seg_cps(consts, direction)[None]
     tabs = ccd_ops.build_obstacle_ccd(
-        hull, dhull, scene.points, scene.mask, cfg.max_ccd_candidates
+        hull, dhull, scene.points, scene.mask, cfg.max_ccd_candidates, cfg.offset
     )
     pallas = geo.use_pallas_gjk(cfg, spline.dtype)
     steps = step_candidates(cfg, spline.dtype)              # [S]

@@ -156,7 +156,8 @@ def _build_ccd(consts, cfg, splines, directions, scene, axis_name):
     my_hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)
     my_dhulls = jax.vmap(lambda s: en.seg_cps(consts, s))(directions)
     obs = ccd_ops.build_obstacle_ccd(
-        my_hulls, my_dhulls, scene.points, scene.mask, cfg.max_ccd_candidates
+        my_hulls, my_dhulls, scene.points, scene.mask, cfg.max_ccd_candidates,
+        cfg.offset,
     )
     all_hulls = _gather_robots(my_hulls, axis_name)
     all_dhulls = _gather_robots(my_dhulls, axis_name)
