@@ -42,13 +42,18 @@ def solved():
     return cfg, ops, consts, scene, state0, state, history
 
 
-def min_clearance(consts, scene, spline, n_samples=200):
-    """Min distance from densely sampled curve points to live obstacles."""
-    hull = np.asarray(en.seg_cps(consts, spline))  # [P,R,6,3]
+def min_clearance(ops, scene, spline, piece_time):
+    """Min distance from densely sampled CURVE points to live obstacles.
+
+    Control-hull vertices are not a lower bound on curve clearance (the curve
+    lies in the hulls' interior); sample the curve itself.
+    """
+    from trajopt_tpu import metrics as mt
+
     pts = np.asarray(scene.points)[np.asarray(scene.mask)]
-    # control-polygon vertices bound the curve hulls; also sample curve
-    d = np.linalg.norm(hull.reshape(-1, 1, 3) - pts[None], axis=-1).min()
-    return d
+    return mt.min_curve_clearance(
+        ops, np.asarray(spline), pts, float(piece_time)
+    )
 
 
 def test_converges(solved):
@@ -67,7 +72,8 @@ def test_consensus_residual_decays(solved):
 
 def test_feasibility_maintained(solved):
     cfg, ops, consts, scene, state0, state, history = solved
-    assert min_clearance(consts, scene, state.spline) > cfg.offset - 1e-6
+    clr = min_clearance(ops, scene, state.spline, state.piece_time)
+    assert clr > cfg.offset - 1e-6, f"curve clearance {clr} <= offset"
 
 
 def test_piece_time_positive_and_moved(solved):

@@ -136,3 +136,58 @@ class TestPairSoundness:
         # B limited to 10%: clear (ends 2.7 away)
         bad = ccd_ops.pair_bad(tabs, jnp.array([1.0, 0.1]), jnp.array([1.0, 0.1]), 0.1, 64, False)
         assert not bool(bad.any())
+
+
+class TestLadderFreeze:
+    """When NO rung of the 0.8^k ladder certifies, the step must be exactly 0
+    (strict soundness — r1 returned the uncertified floor rung 0.8^63)."""
+
+    def test_ladder_bisect_all_fail_returns_zero(self):
+        from trajopt_tpu.config import TrajOptConfig
+        from trajopt_tpu.solver import admm
+
+        cfg = TrajOptConfig()
+        step = admm.ladder_bisect(
+            cfg, lambda s: jnp.asarray(False), jnp.float64
+        )
+        assert float(step) == 0.0
+
+    def test_ccd_step_freezes_on_infeasible_incumbent(self):
+        """A hull already within offset of an obstacle cannot certify any
+        rung (even step->0 keeps the violation) => ccd_step returns 0."""
+        from trajopt_tpu import types as tt
+        from trajopt_tpu.config import TrajOptConfig
+        from trajopt_tpu.ops import splines as sp
+        from trajopt_tpu.solver import admm
+
+        cfg = TrajOptConfig(res=2, max_ccd_candidates=4)
+        ops = sp.build_spline_ops(2, cfg.res)
+        consts = tt.device_consts(ops)
+        wp = np.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]])
+        state = tt.init_state(ops, wp, 20.0)
+        # obstacle directly on the trajectory: incumbent is already violating
+        scene = tt.make_scene(np.array([[1.0, 0.0, 0.0]]))
+        direction = jnp.ones_like(state.spline)
+        step = admm.ccd_step(consts, cfg, state.spline, direction, scene)
+        assert float(step) == 0.0
+
+    def test_decoupled_freeze_on_infeasible_pair(self):
+        """Two robots whose hulls already overlap: per-robot decoupled CCD
+        must freeze both at 0 after the shrink budget."""
+        from trajopt_tpu import types as tt
+        from trajopt_tpu.config import TrajOptConfig
+        from trajopt_tpu.ops import splines as sp
+        from trajopt_tpu.solver import multi as multi_mod
+
+        cfg = TrajOptConfig(res=2, max_self_planes=2, max_ccd_candidates=4)
+        ops = sp.build_spline_ops(2, cfg.res)
+        consts = tt.device_consts(ops)
+        wp = np.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]])
+        wps = [wp, wp + 1e-3]                     # overlapping trajectories
+        state = multi_mod.init_multi_state(ops, wps, 20.0)
+        scene = tt.make_scene(np.array([[100.0, 100.0, 100.0]]))  # far away
+        directions = jnp.ones_like(state.spline)
+        steps = multi_mod.decoupled_ccd_steps(
+            consts, cfg, state.spline, directions, scene, None
+        )
+        assert (np.asarray(steps) == 0.0).all()

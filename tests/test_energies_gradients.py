@@ -216,3 +216,16 @@ def test_psd_repair_ladder_makes_pd():
     assert (np.linalg.eigvalsh(fixed)[:, 0] > 0).all()
 
 
+
+
+def test_psd_repair_ladder_all_fail_degenerate():
+    """Blocks where even H + Gershgorin*I is numerically singular must still
+    come out PD (the 1.1*Gershgorin degeneracy bump — ADVICE r1 medium:
+    argmax over all-False rungs used to discard the bump and return shift 0)."""
+    # H = -c*I: Gershgorin bound G = c exactly, so H + G*I == 0 (singular at
+    # every rung); the repair must bump past the bound, not return H.
+    for c in (1.0, 1e-4, 1e4):
+        h = jnp.asarray(-c * np.eye(19)[None])
+        fixed = np.asarray(gr.psd_repair_ladder(h))
+        wmin = np.linalg.eigvalsh(fixed)[:, 0]
+        assert (wmin > 0).all(), (c, wmin.min())

@@ -228,10 +228,53 @@ int main(int argc, char **argv) {
   }
   auto t1 = std::chrono::steady_clock::now();
   double ms = std::chrono::duration<double, std::milli>(t1 - t0).count();
+
+  // trajectory quality per the reference's log_data protocol
+  // (Main/admmPathPlanning3D.cpp:33-77): ccd time = sum time_weight*piece_time,
+  // ccd len = arc length of the densely resampled curve; plus min clearance
+  // of the sampled curve to the cloud (the parity feasibility check).
+  double len_total = 0, time_total = 0, min_clear = 1e30, min_pair = 1e30;
+  std::vector<std::vector<Eigen::Vector3d>> samples(uav_num);
+  for (int i = 0; i < uav_num; i++) {
+    double pt = decouple ? piece_time_list[i] : piece_time;
+    time_total += whole_weight * pt;
+    const Data &spline = spline_list[i];
+    Eigen::Vector3d prev;
+    bool haveprev = false;
+    for (int sp = 0; sp < piece_num; sp++) {
+      Data bz = convert_list[sp] *
+                spline.block<order_num + 1, 3>(sp * (order_num - 2), 0);
+      for (double t = 0.0; t < 1.0; t += 0.05 / pt) {
+        Eigen::Vector3d pos = Eigen::Vector3d::Zero();
+        for (int j = 0; j <= order_num; j++)
+          pos += combination(order_num, j) * std::pow(t, j) *
+                 std::pow(1 - t, order_num - j) * bz.row(j).transpose();
+        samples[i].push_back(pos);
+        if (haveprev) len_total += (pos - prev).norm();
+        prev = pos;
+        haveprev = true;
+        for (int q = 0; q < (int)vertex_list.size(); q++) {
+          double d = (vertex_list[q].transpose() - pos).norm();
+          if (d < min_clear) min_clear = d;
+        }
+      }
+    }
+  }
+  for (int i = 0; i < uav_num; i++)
+    for (int j = i + 1; j < uav_num; j++)
+      for (const auto &a : samples[i])
+        for (const auto &b : samples[j]) {
+          double d = (a - b).norm();
+          if (d < min_pair) min_pair = d;
+        }
+
   std::cout << "RESULT mesh=" << mesh << " mode="
             << (decouple ? "decoupled" : "coupled") << " iters=" << iter
             << " wall_ms=" << ms << " iters_per_s=" << iter / (ms / 1e3)
             << " gnorm=" << gnorm << " piece_time="
-            << (decouple ? piece_time_list[0] : piece_time) << "\n";
+            << (decouple ? piece_time_list[0] : piece_time)
+            << " ccd_time=" << time_total << " ccd_len=" << len_total
+            << " min_clearance=" << min_clear
+            << " min_pair_dist=" << min_pair << "\n";
   return iter < max_iters ? 0 : 2;
 }

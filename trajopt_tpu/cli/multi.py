@@ -116,10 +116,19 @@ def main(argv=None) -> int:
         it, gnorm = 0, np.inf
         max_iters = args.max_iters or cfg.max_iters
         while it < max_iters and not (it > 1 and gnorm < cfg.stop):
+            t_it = time.perf_counter()
             state, diag = step(state, scene)
             gnorm = float(diag.gnorm)
-            history.append({"iter": it, "gnorm": gnorm,
-                            "consensus_residual": float(diag.consensus_residual)})
+            history.append({
+                "iter": it,
+                "gnorm": gnorm,
+                "consensus_residual": float(diag.consensus_residual),
+                "step": float(np.min(diag.step)),
+                "ccd_step": float(np.min(diag.ccd_step)),
+                "n_planes": int(np.sum(diag.n_planes)),
+                "energy": float(np.sum(diag.energy)),
+                "wall_ms": (time.perf_counter() - t_it) * 1e3,
+            })
             it += 1
     else:
         state, history = driver.solve_multi(
@@ -150,7 +159,13 @@ def main(argv=None) -> int:
         stats = mt.trajectory_stats(
             ops, np.asarray(state.spline[i]), float(state.piece_time[i])
         )
-        print(f"uav {i}: ccd time {stats['ccd_time']:.3f}  ccd len {stats['ccd_len']:.3f}")
+        clearance = mt.min_curve_clearance(
+            ops, np.asarray(state.spline[i]), cloud, float(state.piece_time[i])
+        )
+        print(
+            f"uav {i}: ccd time {stats['ccd_time']:.3f}  "
+            f"ccd len {stats['ccd_len']:.3f}  clearance {clearance:.3f}"
+        )
     print(f"result written to {result_path}")
     if args.plot:
         from .. import viz

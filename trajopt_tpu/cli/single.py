@@ -109,6 +109,10 @@ def main(argv=None) -> int:
     print(f"gnorm: {history[-1]['gnorm']:.4g}" if history else "gnorm: n/a")
     print(f"ccd time: {stats['ccd_time']:.4f}")
     print(f"ccd len: {stats['ccd_len']:.4f}")
+    clearance = mt.min_curve_clearance(
+        ops, np.asarray(state.spline), cloud, float(state.piece_time)
+    )
+    print(f"min curve clearance: {clearance:.4f} (offset {cfg.offset})")
     print(f"point cloud size: {len(cloud)}")
     print(f"result written to {result_path}")
     if args.plot:

@@ -49,6 +49,29 @@ def trajectory_stats(
     return {"ccd_time": total_time, "ccd_len": length, "n_samples": len(pts)}
 
 
+def min_curve_clearance(
+    ops: sp.SplineOps,
+    spline: np.ndarray,
+    points: np.ndarray,
+    piece_time: float = 1.0,
+    dt: float = 0.02,
+    block: int = 4096,
+) -> float:
+    """Min distance from densely sampled *curve* points to the obstacle cloud.
+
+    The curve lies strictly inside its control hulls, so hull-vertex distance
+    is NOT a lower bound on curve clearance — this samples the curve itself
+    (the quantity the offset guarantee is about).
+    """
+    pts = sample_trajectory(ops, spline, piece_time, dt=dt)
+    points = np.asarray(points)
+    best = np.inf
+    for i in range(0, len(pts), block):
+        d = np.linalg.norm(pts[i : i + block, None] - points[None], axis=-1)
+        best = min(best, float(d.min()))
+    return best
+
+
 class JsonlLogger:
     """Per-iteration metrics stream (replaces the reference's ad-hoc
     result/energy ofstreams, CCDUtils.cpp:20-21)."""

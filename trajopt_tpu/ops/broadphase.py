@@ -68,6 +68,7 @@ def topk_candidates(
     """
     lo, hi = hull_aabbs(hull)                              # [P,R,3]
     n_points = scene.points.shape[0]
+    coarse_k = max(coarse_k, k) if coarse_k > 0 else 0  # top_k(k) needs k<=Ck
     if 0 < coarse_k < n_points:
         plo, phi = lo.min(axis=-2), hi.max(axis=-2)        # [P,3] piece boxes
         d2p = aabb_point_dist2(plo, phi, scene.points)     # [P,N]

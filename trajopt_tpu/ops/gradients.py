@@ -212,7 +212,10 @@ def psd_repair_ladder(h: jnp.ndarray) -> jnp.ndarray:
         mid_ok = chol_ok(h + jnp.where(refine, mid, gersh)[..., None, None] * eye)
         hi = jnp.where(refine & mid_ok, mid, hi)
         lo = jnp.where(refine & ~mid_ok, mid, lo)
-    shift = jnp.where(first > 0, hi, 0.0)
+    # zero shift iff rung 0 (shift 0) itself factorized: on all-fail blocks
+    # first==0 too (argmax of all-False), but ok[...,0] is False there, so the
+    # 1.1*gersh degeneracy bump in ``hi`` is kept instead of discarded.
+    shift = jnp.where(ok[..., 0], 0.0, hi)
     shift = jnp.where(shift > 0, shift + 0.01, 0.0)             # reference floor
     return h + shift[..., None, None] * eye
 

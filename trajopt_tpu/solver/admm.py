@@ -162,8 +162,11 @@ def ladder_bisect(cfg: TrajOptConfig, admissible, dtype) -> jnp.ndarray:
     lo0 = jnp.asarray(-1)
     hi0 = jnp.asarray(s_count)  # sentinel: nothing admissible
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo0, hi0))
-    k = jnp.minimum(hi, s_count - 1)  # floor fallback like the reference cap
-    return _SHRINK ** k.astype(dtype)
+    k = jnp.minimum(hi, s_count - 1)
+    # soundness: if NO rung certified (hi == s_count), freeze (step 0) rather
+    # than return the uncertified floor rung — step 0 is always safe because
+    # the incumbent iterate is feasible by induction.
+    return jnp.where(hi >= s_count, 0.0, _SHRINK ** k.astype(dtype)).astype(dtype)
 
 
 def ccd_step(

@@ -58,6 +58,32 @@ def initial_clearance(
     return float(d.min())
 
 
+def warn_on_coarse_overflow(
+    consts: SplineConsts, cfg: TrajOptConfig, spline: jnp.ndarray, scene: Scene
+) -> None:
+    """One-time audit of the two-level broad phase: warn if any piece box has
+    more in-radius points than ``broadphase_coarse_k`` can hold (the filter
+    would then silently trim the farthest true candidates —
+    `ops/broadphase.py::topk_candidates`)."""
+    if not cfg.broadphase_coarse_k:
+        return
+    spline = spline if spline.ndim == 3 else spline[None]  # [U,T,3]
+    hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(spline)
+    ov = jax.vmap(
+        lambda h: bp.coarse_overflow(
+            h, scene, cfg.offset + cfg.margin, cfg.broadphase_coarse_k
+        )
+    )(hulls)
+    if bool(np.any(np.asarray(ov))):
+        warnings.warn(
+            f"broad-phase coarse filter overflow: some piece boxes have more "
+            f"than broadphase_coarse_k={cfg.broadphase_coarse_k} in-radius "
+            "obstacle points; separating-plane quality may degrade — raise "
+            "broadphase_coarse_k (or set it to 0 for the direct path)",
+            stacklevel=3,
+        )
+
+
 def solve(
     consts: SplineConsts,
     cfg: TrajOptConfig,
@@ -84,6 +110,7 @@ def solve(
                 "initialization — use the RRT planner or better waypoints)",
                 stacklevel=2,
             )
+        warn_on_coarse_overflow(consts, cfg, state.spline, scene)
     history: list[dict] = []
     it = 0
     gnorm = np.inf
@@ -133,6 +160,7 @@ def solve_multi(
 
     coupled = (not cfg.decouple) if coupled is None else coupled
     max_iters = max_iters if max_iters is not None else cfg.max_iters
+    warn_on_coarse_overflow(consts, cfg, state.spline, scene)
     history: list[dict] = []
     it, gnorm = 0, np.inf
     while it < max_iters:

@@ -221,20 +221,25 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
     obs_tabs, pair_tabs = _build_ccd(consts, cfg, splines, directions, scene, axis_name)
 
     def cond(carry):
-        steps, i = carry
-        all_steps = _gather_robots(steps, axis_name)
-        bad = _self_collision(cfg, pair_tabs, steps, all_steps)
+        steps, bad, i = carry
         return (i < cfg.max_line_search) & _gany(bad, axis_name)
 
     def body(carry):
-        steps, i = carry
+        steps, bad, i = carry
+        steps = jnp.where(bad, steps * _SHRINK, steps)
         all_steps = _gather_robots(steps, axis_name)
         bad = _self_collision(cfg, pair_tabs, steps, all_steps)
-        return jnp.where(bad, steps * _SHRINK, steps), i + 1
+        return steps, bad, i + 1
 
-    steps, _ = jax.lax.while_loop(
-        cond, body, (jnp.ones((u,), splines.dtype), jnp.asarray(0))
+    steps0 = jnp.ones((u,), splines.dtype)
+    bad0 = _self_collision(
+        cfg, pair_tabs, steps0, _gather_robots(steps0, axis_name)
     )
+    steps, bad, _ = jax.lax.while_loop(cond, body, (steps0, bad0, jnp.asarray(0)))
+    # soundness: robots still uncertified after the shrink budget freeze at 0
+    # (shrinking a robot's interval only shrinks swept hulls, so zeroing never
+    # invalidates another robot's certificate).
+    steps = jnp.where(bad, jnp.zeros_like(steps), steps)
 
     def obs_bisect(_):
         """Vectorized per-robot bisection on the ladder exponent."""
@@ -252,7 +257,11 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
         hi0 = jnp.full((u,), s_count)
         lo, hi = jax.lax.fori_loop(0, s_count.bit_length(), body, (lo0, hi0))
         k = jnp.minimum(hi, s_count - 1)
-        return admm._SHRINK ** k.astype(splines.dtype)
+        # soundness: robots with no certified rung freeze at 0 (see
+        # admm.ladder_bisect)
+        return jnp.where(
+            hi >= s_count, 0.0, admm._SHRINK ** k.astype(splines.dtype)
+        ).astype(splines.dtype)
 
     ones = jnp.ones((u,), splines.dtype)
     obs_steps = jax.lax.cond(
