@@ -28,9 +28,30 @@ def main() -> None:
     ap.add_argument("--uavs", type=int, default=8)
     ap.add_argument("--pieces", type=int, default=4)
     ap.add_argument("--points", type=int, default=4000)
+    ap.add_argument("--single", action="store_true",
+                    help="export the single-UAV bridge scene instead "
+                         "(model/single/, unscaled, single-column init)")
     args = ap.parse_args()
 
     from trajopt_tpu.scenes import generators as gen
+
+    if args.single:
+        cloud, wp = gen.bridge_scene(n_points=args.points, seed=0,
+                                     n_pieces=args.pieces)
+        os.makedirs(os.path.join(args.out, "model", "single"), exist_ok=True)
+        os.makedirs(os.path.join(args.out, "init"), exist_ok=True)
+        os.makedirs(os.path.join(args.out, "result"), exist_ok=True)
+        obj = os.path.join(args.out, "model", "single", f"{args.name}.obj")
+        with open(obj, "w") as f:
+            for p in cloud:
+                f.write(f"v {p[0]:.17g} {p[1]:.17g} {p[2]:.17g}\n")
+        init = os.path.join(args.out, "init", f"{args.name}_init_file.txt")
+        with open(init, "w") as f:
+            for p in wp:
+                f.write(f"{p[0]:.17g} {p[1]:.17g} {p[2]:.17g}\n")
+        print(f"wrote {obj} ({len(cloud)} pts) and {init} "
+              f"({len(wp) - 1} pieces)")
+        return
 
     cloud = gen.cross_scene(n_points=args.points, seed=0)
     wps = gen.assign_lanes(

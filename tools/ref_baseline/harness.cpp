@@ -247,7 +247,7 @@ int main(int argc, char **argv) {
       for (double t = 0.0; t < 1.0; t += 0.05 / pt) {
         Eigen::Vector3d pos = Eigen::Vector3d::Zero();
         for (int j = 0; j <= order_num; j++)
-          pos += combination(order_num, j) * std::pow(t, j) *
+          pos += combination[order_num][j] * std::pow(t, j) *
                  std::pow(1 - t, order_num - j) * bz.row(j).transpose();
         samples[i].push_back(pos);
         if (haveprev) len_total += (pos - prev).norm();

@@ -52,7 +52,13 @@ class TrajOptConfig:
     gjk_iters: int = 24        # Frank-Wolfe iterations in the device GJK kernel
     use_pallas_gjk: bool | None = None  # None = auto (TPU + float32)
     max_iters: int = 1_000_000
-    psd_method: str = "eigh"  # "eigh" (exact, benches faster) | "ladder" (Cholesky ladder)
+    # PSD repair of the per-piece Newton blocks (Gradient_admm.h:40-53):
+    #   "gmw"    — GMW81 modified Cholesky in one fused Pallas pass (default;
+    #              ~0.04 ms at [256,19,19] — see ops/pallas_chol.py),
+    #   "eigh"   — reference-exact minimal spectrum shift (the test oracle;
+    #              ~4 ms/call: XLA's batched eigh is launch-bound here),
+    #   "ladder" — Cholesky shift ladder (~9 ms/call; kept for comparison).
+    psd_method: str = "gmw"
     broadphase_coarse_k: int = 256  # two-level broad phase subset (0 = direct)
 
     @property

@@ -25,10 +25,11 @@ CCD.h:354-473 then :17-225, but with *every* pair certified):
 
 Fast paths (performance, not soundness):
 
-* Points whose k-DOP gap at the FULL sweep already exceeds ``offset`` are
-  clear at every sub-step (the swept hull only shrinks), so the per-trial
-  k-DOP pass runs only over a fixed subset of full-sweep-dangerous points.
-  If that subset overflows, a `lax.cond` falls back to the full-cloud pass —
+* A ROBOT-level k-DOP interval (union of the robot's swept segment intervals
+  at the full sweep) certifies most of the cloud per robot in one [B,N] pass;
+  only a fixed per-robot candidate table (`_PREFILTER_M` smallest robot-level
+  gaps) enters the per-segment tests.  If more points than the table holds
+  are in robot-level danger, a `lax.cond` falls back to the full-cloud pass —
   still sound, just slower (typical only during early large sweeps).
 * The GJK batches are `lax.cond`-gated on actual k-DOP danger among the
   selected slots; steady-state CCD calls skip GJK entirely.
@@ -97,7 +98,7 @@ def _first_occurrence(idx: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-_SUBSET = 64  # per-trial k-DOP subset size (beyond the GJK slots)
+_PREFILTER_M = 128  # per-robot candidate budget of the robot-level prefilter
 
 
 class ObstacleCCD(NamedTuple):
@@ -105,67 +106,107 @@ class ObstacleCCD(NamedTuple):
     dhull: jnp.ndarray     # [B,P,R,n,3]
     hp: jnp.ndarray        # [B,P,R,n,D] hull projections
     dp: jnp.ndarray        # [B,P,R,n,D] direction projections
-    pts_proj: jnp.ndarray  # [N,D]
+    pts_proj: jnp.ndarray  # [N,D]  (full cloud — overflow fallback only)
     pmask: jnp.ndarray     # [N] bool
-    sel_idx: jnp.ndarray   # [B,P,R,S] GJK slot obstacle ids (S = 2K)
+    cand_proj: jnp.ndarray # [B,Mc,D] candidate projections (per-trial k-DOP)
+    cand_pm: jnp.ndarray   # [B,Mc] live-point mask of the candidates
+    sel_idx: jnp.ndarray   # [B,P,R,S] GJK slot candidate ids (S = 2K)
     sel_pts: jnp.ndarray   # [B,P,R,S,3]
-    sel_proj: jnp.ndarray  # [B,P,R,S,D]
     sel_pm: jnp.ndarray    # [B,P,R,S] live-point mask of the slots
     sel_uniq: jnp.ndarray  # [B,P,R,S] first-occurrence mask (exact counting)
-    sub_proj: jnp.ndarray  # [B,P,R,M,D] per-trial k-DOP subset projections
-    sub_need: jnp.ndarray  # [B,P,R,M] subset entries that must pass k-DOP
-    overflow: jnp.ndarray  # [] bool: subset missed a dangerous point
+    cand_need: jnp.ndarray # [B,P,R,Mc] candidates that must pass k-DOP
+    overflow: jnp.ndarray  # [] bool: prefilter missed a dangerous point
     offset: float
 
 
 def build_obstacle_ccd(hull, dhull, points, pmask, k_gjk: int, offset: float) -> ObstacleCCD:
-    """Precompute projections, GJK slots, and the per-trial k-DOP subset.
+    """Precompute projections, the candidate table, and the GJK slots.
 
     ``hull``/``dhull``: [B,P,R,n,3] (B = robot batch, 1 for single).
     GJK slots: per segment, the ``k_gjk`` smallest k-DOP gaps at the full
-    sweep plus the ``k_gjk`` smallest at zero sweep."""
+    sweep plus the ``k_gjk`` smallest at zero sweep.
+
+    Two-level candidate structure (soundness preserved at both levels):
+
+    1. ROBOT level: one k-DOP interval per robot (union of its swept segment
+       intervals at full sweep) gives a gap lower bound per (robot, point) —
+       [B,N] work instead of [B,P,R,N].  Points with robot-level gap > offset
+       are provably clear of every segment at every step; the rest rank into
+       a fixed per-robot candidate table of ``_PREFILTER_M`` slots.  If more
+       than Mc points are in danger the overflow flag forces the trial-time
+       full pass (exact, slower) — never an unsound accept.
+    2. SEGMENT level: the candidate table itself is the per-trial k-DOP set
+       (every candidate is certified at every trial — no further ranked
+       subset, so no [B,P,R,·] top_k or big gathers); per-segment
+       full-sweep/zero-sweep rankings over the Mc candidates pick only the
+       GJK slots.
+    """
     ax = _axes(hull.dtype)
     hp = hull @ ax.T                                     # [B,P,R,n,D]
     dp = dhull @ ax.T
     pts_proj = points @ ax.T                             # [N,D]
     n_pts = points.shape[0]
+    b = hull.shape[0]
 
     lo1, hi1 = _swept_interval(hp, dp, jnp.asarray(1.0, hull.dtype))
-    gap1 = _gap_point(lo1, hi1, pts_proj)                # [B,P,R,N]
     lo0, hi0 = _interval(hp)
-    gap0 = _gap_point(lo0, hi0, pts_proj)
     big = jnp.asarray(jnp.inf, hull.dtype)
-    gap1 = jnp.where(pmask, gap1, big)
-    gap0 = jnp.where(pmask, gap0, big)
 
-    k = min(k_gjk, n_pts)
-    m = min(max(_SUBSET, k), n_pts)
-    _, sub1 = jax.lax.top_k(-gap1, m)                    # most full-sweep danger
-    idx1 = sub1[..., :k]                                 # [B,P,R,k]
-    _, idx0 = jax.lax.top_k(-gap0, k)
+    mc = min(_PREFILTER_M, n_pts)
+    if mc < n_pts:
+        # --- robot-level prefilter ---------------------------------------
+        rlo = jnp.min(lo1, axis=(1, 2))                  # [B,D]
+        rhi = jnp.max(hi1, axis=(1, 2))
+        rgap = _gap_point(rlo, rhi, pts_proj)            # [B,N]
+        rgap = jnp.where(pmask, rgap, big)
+        _, cand = jax.lax.top_k(-rgap, mc)               # [B,Mc]
+        cand_pts = points[cand]                          # [B,Mc,3]
+        cand_proj = pts_proj[cand]                       # [B,Mc,D]
+        cand_pm = pmask[cand]
+        pre_overflow = jnp.any(
+            jnp.sum((rgap <= offset) & pmask, axis=-1) > mc
+        )
+    else:
+        cand = jnp.broadcast_to(
+            jnp.arange(n_pts, dtype=jnp.int32), (b, n_pts)
+        )
+        cand_pts = jnp.broadcast_to(points, (b,) + points.shape)
+        cand_proj = jnp.broadcast_to(pts_proj, (b,) + pts_proj.shape)
+        cand_pm = jnp.broadcast_to(pmask, (b, n_pts))
+        pre_overflow = jnp.zeros((), bool)
+
+    cp = cand_proj[:, None, None]                        # [B,1,1,Mc,D]
+    gap1 = _gap_point(lo1, hi1, cp)                      # [B,P,R,Mc]
+    gap0 = _gap_point(lo0, hi0, cp)
+    gap1 = jnp.where(cand_pm[:, None, None], gap1, big)
+    gap0 = jnp.where(cand_pm[:, None, None], gap0, big)
+
+    k = min(k_gjk, mc)
+    _, idx1 = jax.lax.top_k(-gap1, k)                    # most full-sweep danger
+    _, idx0 = jax.lax.top_k(-gap0, k)                    # nearest at zero sweep
     sel = jnp.concatenate([idx1, idx0], axis=-1).astype(jnp.int32)
 
-    sub = jnp.concatenate([sub1.astype(jnp.int32), idx0.astype(jnp.int32)], axis=-1)
-    # dangerous points not in the subset => must fall back to the full pass.
-    # sub1 holds the m SMALLEST gap1 values, so every gap1<=offset point is
-    # inside it iff the per-segment danger count is at most m.
-    overflow = jnp.any(
-        jnp.sum((gap1 <= offset) & pmask, axis=-1) > m
-    )
-    # subset entries already covered by a GJK slot need not pass k-DOP
+    # candidates already covered by a GJK slot need not pass k-DOP
+    cand_ids = jnp.arange(mc, dtype=jnp.int32)
     dup = jnp.any(
-        sub1[..., :, None] == sel[..., None, :], axis=-1
-    )                                                    # [B,P,R,m]
-    sub_need = jnp.concatenate(
-        [pmask[sub1] & ~dup, jnp.zeros(idx0.shape, bool)], axis=-1
-    )
+        cand_ids[:, None] == sel[..., None, :], axis=-1
+    )                                                    # [B,P,R,Mc]
+    cand_need = cand_pm[:, None, None] & ~dup
+
+    def gather_cand(arr, idx):
+        """arr [B,Mc,...] gathered by idx [B,P,R,S] -> [B,P,R,S,...]."""
+        return jax.vmap(lambda a, i: a[i])(arr, idx)
+
     return ObstacleCCD(
         hull=hull, dhull=dhull, hp=hp, dp=dp,
         pts_proj=pts_proj, pmask=pmask,
-        sel_idx=sel, sel_pts=points[sel], sel_proj=pts_proj[sel],
-        sel_pm=pmask[sel], sel_uniq=_first_occurrence(sel),
-        sub_proj=pts_proj[sub], sub_need=sub_need,
-        overflow=overflow, offset=offset,
+        cand_proj=cand_proj, cand_pm=cand_pm,
+        sel_idx=sel,
+        sel_pts=gather_cand(cand_pts, sel),
+        sel_pm=gather_cand(cand_pm, sel),
+        sel_uniq=_first_occurrence(sel),
+        cand_need=cand_need,
+        overflow=pre_overflow, offset=offset,
     )
 
 
@@ -177,12 +218,14 @@ def obstacle_bad(tabs: ObstacleCCD, steps, offset, gjk_iters, pallas) -> jnp.nda
     s5 = s[:, None, None, None, None]                    # [B,1,1,1,1]
     lo, hi = _swept_interval(tabs.hp, tabs.dp, s5)       # [B,P,R,D]
 
-    g_sel = _gap_point(lo, hi, tabs.sel_proj)            # [B,P,R,S] (gathered)
+    # one k-DOP pass over the candidate table; slot gaps gathered from it
+    g_cand = _gap_point(lo, hi, tabs.cand_proj[:, None, None])  # [B,P,R,Mc]
+    g_sel = jnp.take_along_axis(g_cand, tabs.sel_idx, axis=-1)  # [B,P,R,S]
 
     # --- k-DOP certification of everything outside the GJK slots ---
     def subset_pass(_):
-        g = _gap_point(lo, hi, tabs.sub_proj)            # [B,P,R,M] (gathered)
-        return jnp.any(tabs.sub_need & ~(g > offset), axis=(-1, -2, -3))
+        # non-candidates are certified by the robot-level prefilter (build)
+        return jnp.any(tabs.cand_need & ~(g_cand > offset), axis=(-1, -2, -3))
 
     def full_pass(_):
         # count-based slot coverage (exact, no scatters): uncertified points
@@ -266,12 +309,11 @@ def build_pair_ccd(
     sel = jnp.concatenate([idx1, idx0], axis=-1).astype(jnp.int32)  # [U,P,R,S]
 
     def gather_other(arr):                                  # [Ut,P,R,n,3]
-        moved = jnp.moveaxis(arr, 0, 2)                     # [P,R,Ut,n,3]
-        return jnp.take_along_axis(
-            jnp.broadcast_to(moved[None], (u,) + moved.shape),
-            sel[..., None, None],
-            axis=3,
-        )
+        # one XLA gather via advanced indexing — broadcasting moved[None] to
+        # [U,P,R,Ut,n,3] for take_along_axis materializes ~100 MB at U=64
+        p_idx = jnp.arange(arr.shape[1])[None, :, None, None]
+        r_idx = jnp.arange(arr.shape[2])[None, None, :, None]
+        return arr[sel, p_idx, r_idx]                       # [U,P,R,S,n,3]
 
     return PairCCD(
         my_hull=my_hulls, my_dhull=my_dhulls,

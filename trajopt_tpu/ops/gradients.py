@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..config import TrajOptConfig
 from ..types import Planes, SplineConsts
 from . import energies as en
+from . import smallchol as sc
 
 N_CP = 6        # order + 1
 N_LOC = 19      # 18 CP coords + shared time
@@ -183,7 +184,9 @@ def psd_repair_ladder(h: jnp.ndarray) -> jnp.ndarray:
     ldiag_idx = (..., jnp.arange(m), jnp.arange(m))
 
     def chol_ok(mat):  # [..., m, m] -> [...] bool: is mat numerically PD?
-        ld = jnp.linalg.cholesky(mat)[ldiag_idx]
+        # unrolled factorization: XLA's while-loop cholesky costs ~1 ms per
+        # call on TPU at these block sizes (see ops/smallchol.py)
+        ld = sc.cholesky(mat)[ldiag_idx]
         return jnp.all(jnp.isfinite(ld) & (ld > 0), axis=-1)
 
     diag = jnp.diagonal(h, axis1=-2, axis2=-1)
@@ -218,6 +221,29 @@ def psd_repair_ladder(h: jnp.ndarray) -> jnp.ndarray:
     shift = jnp.where(ok[..., 0], 0.0, hi)
     shift = jnp.where(shift > 0, shift + 0.01, 0.0)             # reference floor
     return h + shift[..., None, None] * eye
+
+
+def psd_repair_gmw(h: jnp.ndarray) -> jnp.ndarray:
+    """PSD repair by GMW-style modified Cholesky (the TPU default).
+
+    One fused factorization pass produces the diagonal boosts e >= 0 with
+    ``h + diag(e)`` PD by construction and e == 0 on comfortably-PD blocks —
+    the reference's no-repair path (Gradient_admm.h:40-53 shifts only on
+    Cholesky failure).  Unlike `psd_repair`'s spectral shift the modification
+    is per-diagonal-entry; measured r2: ~0.04 ms fused at [256,19,19] vs
+    ~4 ms for the eigh shift and ~9 ms for the Cholesky ladder (XLA's eigh /
+    cholesky lowerings are launch-bound at tiny block sizes).
+    """
+    from . import pallas_chol as pc
+
+    m = h.shape[-1]
+    if pc.use_pallas_linalg(h.dtype) and m <= pc.MAX_M:
+        flat = h.reshape((-1, m, m))
+        _, e = pc.mod_chol(flat)
+        e = e.reshape(h.shape[:-1])
+    else:
+        _, e = sc.mod_cholesky(h)
+    return h + e[..., None] * jnp.eye(m, dtype=h.dtype)
 
 
 def psd_repair(h: jnp.ndarray) -> jnp.ndarray:
@@ -270,6 +296,13 @@ def piece_grads_and_hessians(
     g, h = jax.vmap(one)(xs, data)
     if not repair:
         return g, h
+    return g, apply_psd_repair(cfg, h)
+
+
+def apply_psd_repair(cfg: TrajOptConfig, h: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch on ``cfg.psd_method`` ("gmw" default | "eigh" | "ladder")."""
     if cfg.psd_method == "eigh":
-        return g, psd_repair(h)
-    return g, psd_repair_ladder(h)
+        return psd_repair(h)
+    if cfg.psd_method == "ladder":
+        return psd_repair_ladder(h)
+    return psd_repair_gmw(h)

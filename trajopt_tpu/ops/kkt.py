@@ -25,7 +25,42 @@ import jax
 import jax.numpy as jnp
 
 from ..types import SplineConsts
+from . import pallas_chol as pc
+from . import smallchol as sc
 from .gradients import N_CP
+
+# blocks at or below this size use the fused Pallas / unrolled Cholesky
+# (ops/pallas_chol.py, ops/smallchol.py); larger reduced systems fall back to
+# lax's blocked factorization
+_UNROLL_MAX = 64
+
+
+def _factor(a: jnp.ndarray) -> jnp.ndarray:
+    """Lower factor of PD(ish) blocks [..., ns, ns] (batch-polymorphic).
+
+    Small blocks route to the fused modified-Cholesky kernels, whose GMW
+    boosts engage only if f32 roundoff made a block numerically indefinite
+    (the iterative-refinement round in `correct_direction` then corrects
+    toward the true system)."""
+    ns = a.shape[-1]
+    if ns <= _UNROLL_MAX:
+        if pc.use_pallas_linalg(a.dtype):
+            l, _ = pc.mod_chol(a.reshape((-1, ns, ns)))
+            return l.reshape(a.shape)
+        return sc.mod_cholesky(a)[0]
+    return jnp.linalg.cholesky(a)
+
+
+def _factor_solve(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L L^T x = b given `_factor`'s output (batch-polymorphic)."""
+    ns = l.shape[-1]
+    if ns <= _UNROLL_MAX:
+        if pc.use_pallas_linalg(l.dtype):
+            vec = b.ndim == l.ndim - 1
+            flat_b = b.reshape((-1, ns) if vec else (-1, ns, b.shape[-1]))
+            return pc.chol_solve(l.reshape((-1, ns, ns)), flat_b).reshape(b.shape)
+        return sc.cho_solve(l, b)
+    return jax.scipy.linalg.cho_solve((l, True), b)
 
 
 class ReducedKKT(NamedTuple):
@@ -90,19 +125,23 @@ class LocalSolve(NamedTuple):
 
 
 def local_solve(kkt: ReducedKKT) -> LocalSolve:
+    """Robot-local factor + solves.  Batch-polymorphic: every field of
+    `ReducedKKT` may carry identical leading batch dims (the multi solver
+    passes the whole robot axis in one call so the Pallas factorization runs
+    once over the stacked blocks instead of per-robot under vmap)."""
     # tiny relative ridge: keeps f32 Cholesky of the (PSD by construction)
     # block safely positive definite on TPU
-    ns = kkt.a.shape[0]
-    ridge = 1e-6 * jnp.trace(kkt.a) / ns
-    kkt = kkt._replace(a=kkt.a + ridge * jnp.eye(ns, dtype=kkt.a.dtype))
-    chol = jax.scipy.linalg.cho_factor(kkt.a)
-    rhs = jnp.stack([kkt.gs, kkt.b], axis=-1)
-    sol = jax.scipy.linalg.cho_solve(chol, rhs)
-    ainv_gs, ainv_b = sol[:, 0], sol[:, 1]
-    schur_s = kkt.htt - kkt.b @ ainv_b
-    schur_r = kkt.gt - kkt.b @ ainv_gs
-    gnorm = jnp.sqrt(jnp.sum(kkt.gs**2) + kkt.gt**2)
-    return LocalSolve(ainv_gs, ainv_b, schur_s, schur_r, gnorm, chol[0])
+    ns = kkt.a.shape[-1]
+    ridge = 1e-6 * jnp.trace(kkt.a, axis1=-2, axis2=-1) / ns
+    a = kkt.a + ridge[..., None, None] * jnp.eye(ns, dtype=kkt.a.dtype)
+    rhs = jnp.stack([kkt.gs, kkt.b], axis=-1)           # [..., ns, 2]
+    chol = _factor(a)
+    sol = _factor_solve(chol, rhs)
+    ainv_gs, ainv_b = sol[..., 0], sol[..., 1]
+    schur_s = kkt.htt - jnp.einsum("...i,...i->...", kkt.b, ainv_b)
+    schur_r = kkt.gt - jnp.einsum("...i,...i->...", kkt.b, ainv_gs)
+    gnorm = jnp.sqrt(jnp.sum(kkt.gs**2, axis=-1) + kkt.gt**2)
+    return LocalSolve(ainv_gs, ainv_b, schur_s, schur_r, gnorm, chol)
 
 
 def finish_direction(
@@ -116,10 +155,14 @@ def finish_direction(
 
     The floor on ``s`` is relative: f32 cancellation in ``htt - b^T A^-1 b``
     can make the raw scalar tiny or negative, and a 1e-12 floor would turn
-    that into an astronomically large (and wrong) time step."""
+    that into an astronomically large (and wrong) time step.
+
+    Batch-polymorphic: ``ls`` may carry leading batch dims; the Schur scalars
+    broadcast against them (coupled mode passes psum'd scalars), and ``dt``
+    is returned broadcast to the batch shape."""
     s = jnp.maximum(schur_s_total, 1e-5 * jnp.maximum(jnp.abs(schur_s_total), 1.0))
-    dt = -schur_r_total / s
-    ds = -ls.ainv_gs - dt * ls.ainv_b
+    dt = jnp.broadcast_to(-schur_r_total / s, ls.ainv_gs.shape[:-1])
+    ds = -ls.ainv_gs - dt[..., None] * ls.ainv_b
     return ds, dt
 
 
@@ -137,10 +180,15 @@ def correct_direction(
     `finish_direction` with (r_s, r_t) in place of the gradient.  One round
     recovers the ~6 digits f32 loses on ill-conditioned blocks — without it
     the Schur scalar can go negative and Armijo accepts a non-descent step.
+    Batch-polymorphic like `local_solve`.
     """
-    r_s = red.a @ ds + red.b * dt + red.gs
-    r_t = red.b @ ds + red.htt * dt + red.gt
-    ainv_rs = jax.scipy.linalg.cho_solve((ls.chol, False), r_s)
+    r_s = (
+        jnp.einsum("...ij,...j->...i", red.a, ds)
+        + red.b * dt[..., None]
+        + red.gs
+    )
+    r_t = jnp.einsum("...i,...i->...", red.b, ds) + red.htt * dt + red.gt
+    ainv_rs = _factor_solve(ls.chol, r_s)
     return r_s, r_t, ainv_rs
 
 

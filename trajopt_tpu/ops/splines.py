@@ -233,11 +233,16 @@ def piece_row_index(piece_num: int, order: int = ORDER) -> np.ndarray:
     return starts[:, None] + np.arange(order + 1)[None, :]
 
 
-def waypoints_to_spline(way_points: np.ndarray, order: int = ORDER) -> np.ndarray:
+def waypoints_to_spline(
+    way_points: np.ndarray, order: int = ORDER, layout: str = "single"
+) -> np.ndarray:
     """Initial stored control rows from waypoints.
 
-    Mirrors `init_variable` (Main/admmPathPlanning3D.cpp:255-275) including the
-    endpoint pinning ``spline[1]=spline[0]``, ``spline[T-2]=spline[T-1]``.
+    ``layout="single"`` mirrors the single main's `init_variable`
+    (Main/admmPathPlanning3D.cpp:255-275, head/tail 0.9/0.1 interpolation);
+    ``layout="multi"`` mirrors the multi main's uniform interpolation
+    (Main/multiPathPlanning3D.cpp:352-360).  Both pin the ends
+    (``spline[1]=spline[0]``, ``spline[T-2]=spline[T-1]``).
     """
     wp = np.asarray(way_points, dtype=np.float64)
     piece_num = wp.shape[0] - 1
@@ -247,13 +252,18 @@ def waypoints_to_spline(way_points: np.ndarray, order: int = ORDER) -> np.ndarra
     spline = np.zeros((t, 3), dtype=np.float64)
     spline[0] = wp[0]
     for i in range(piece_num):
-        head = 0.9 * wp[i] + 0.1 * wp[i + 1]
-        tail = 0.9 * wp[i + 1] + 0.1 * wp[i]
-        spline[i * (n - 2) + 1] = wp[i]
-        for j in range(1, n - 2):
-            a = (n - 3 - j) / (n - 4)
-            spline[j + i * (n - 2) + 1] = a * head + (1.0 - a) * tail
-        spline[(i + 1) * (n - 2) + 1] = wp[i + 1]
+        if layout == "multi":
+            for j in range(n - 1):
+                a = (n - 2 - j) / (n - 2)
+                spline[j + i * (n - 2) + 1] = a * wp[i] + (1.0 - a) * wp[i + 1]
+        else:
+            head = 0.9 * wp[i] + 0.1 * wp[i + 1]
+            tail = 0.9 * wp[i + 1] + 0.1 * wp[i]
+            spline[i * (n - 2) + 1] = wp[i]
+            for j in range(1, n - 2):
+                a = (n - 3 - j) / (n - 4)
+                spline[j + i * (n - 2) + 1] = a * head + (1.0 - a) * tail
+            spline[(i + 1) * (n - 2) + 1] = wp[i + 1]
     spline[t - 1] = wp[piece_num]
     spline[1] = spline[0]
     spline[t - 2] = spline[t - 1]

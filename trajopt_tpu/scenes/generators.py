@@ -29,11 +29,13 @@ def sphere_scene(
 def bridge_scene(
     n_points: int = 20000,
     seed: int = 0,
+    n_pieces: int = 4,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Bridge-like cloud: deck + two towers + arches, spanning x in [-6, 6].
 
     Returns (points, way_points) where the waypoints thread under the deck
-    like the reference's bridge.obj run.
+    like the reference's bridge.obj run.  ``n_pieces`` resamples the same
+    under-deck path to n_pieces+1 waypoints (long-trajectory benchmarks).
     """
     rng = np.random.default_rng(seed)
     parts = []
@@ -86,7 +88,21 @@ def bridge_scene(
             [8.0, 0.0, 0.6],
         ]
     )
+    if n_pieces != len(way_points) - 1:
+        way_points = resample_polyline(way_points, n_pieces + 1)
     return cloud, way_points
+
+
+def resample_polyline(wps: np.ndarray, n: int) -> np.ndarray:
+    """Resample a waypoint polyline to ``n`` points uniform in arc length."""
+    wps = np.asarray(wps, float)
+    seg = np.linalg.norm(np.diff(wps, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    t = np.linspace(0.0, s[-1], n)
+    out = np.empty((n, 3))
+    for d in range(3):
+        out[:, d] = np.interp(t, s, wps[:, d])
+    return out
 
 
 def cross_waypoints(

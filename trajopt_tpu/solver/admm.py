@@ -25,6 +25,7 @@ from ..ops import energies as en
 from ..ops import geometry as geo
 from ..ops import gradients as gr
 from ..ops import kkt
+from ..ops import smallchol as sc
 
 _ARMIJO_C = 1e-4   # Optimization3D_admm.h:537
 _SHRINK = 0.8      # Optimization3D_admm.h:542 / Step.h:97
@@ -293,10 +294,21 @@ def slack_update(
         h,
         jnp.eye(gr.N_LOC, dtype=h.dtype)[None],
     )
-    h = gr.psd_repair(h) if cfg.psd_method == "eigh" else gr.psd_repair_ladder(h)
+    if cfg.psd_method == "gmw":
+        # fused repair + factor + solve (ops/pallas_chol.py / smallchol.py)
+        from ..ops import pallas_chol as pc
 
-    d = -jax.vmap(lambda hh, gg: jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(hh), gg))(h, g)
+        if pc.use_pallas_linalg(h.dtype):
+            chol_l, _ = pc.mod_chol(h)
+            d = -pc.chol_solve(chol_l, g)
+        else:
+            chol_l, _ = sc.mod_cholesky(h)
+            d = -sc.cho_solve(chol_l, g)
+    else:
+        h = gr.psd_repair(h) if cfg.psd_method == "eigh" else gr.psd_repair_ladder(h)
+        # unrolled batched solve (ops/smallchol.py): XLA's cho_factor costs
+        # ~1 ms at [P,19,19] on TPU
+        d = -sc.solve_pd(h, g)
     d = d * m
     wolfe = -jnp.sum(d * g, axis=1)                        # [P]
     # NaN-proof steepest-descent fallback per piece (see spline_direction)

@@ -289,16 +289,21 @@ def _all_planes(consts, cfg, state, scene, axis_name):
 
 
 def _directions(consts, cfg, state, planes):
-    """Per-robot reduced KKT solves (vmapped)."""
-    def one(st, pl):
-        g, h = gr.piece_grads_and_hessians(
-            consts, cfg, st.spline, st.piece_time, pl,
-            st.p_slack, st.t_slack, st.p_lambda, st.t_lambda,
-        )
-        red = kkt.assemble_reduced(consts, g, h)
-        return kkt.local_solve(red), red
+    """Per-robot reduced KKT solves.
 
-    return jax.vmap(one)(state, planes)
+    Autodiff + assembly vmap over robots; the PSD repair and the factor/solve
+    run ONCE on the stacked [U,...] blocks (batch-polymorphic `kkt.local_solve`)
+    so the fused Pallas Cholesky sees the whole robot axis in one call."""
+    def gh(st, pl):
+        return gr.piece_grads_and_hessians(
+            consts, cfg, st.spline, st.piece_time, pl,
+            st.p_slack, st.t_slack, st.p_lambda, st.t_lambda, repair=False,
+        )
+
+    g, h = jax.vmap(gh)(state, planes)                  # [U,P,19], [U,P,19,19]
+    h = gr.apply_psd_repair(cfg, h)
+    red = jax.vmap(lambda gg, hh: kkt.assemble_reduced(consts, gg, hh))(g, h)
+    return kkt.local_solve(red), red
 
 
 def multi_admm_step(
@@ -325,11 +330,9 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
     if coupled:
         s_tot = _gsum(ls.schur_s, axis_name)
         r_tot = _gsum(ls.schur_r, axis_name)
-        ds, dt = jax.vmap(
-            lambda l: kkt.finish_direction(l, s_tot, r_tot)
-        )(ls)
+        ds, dt = kkt.finish_direction(ls, s_tot, r_tot)   # batched; dt [U]
         # one iterative-refinement round (f32 Schur cancellation guard)
-        rs, rt_local, ainv_rs = jax.vmap(kkt.correct_direction)(red, ls, ds, dt)
+        rs, rt_local, ainv_rs = kkt.correct_direction(red, ls, ds, dt)
         rt_tot = _gsum(rt_local, axis_name)
         br = _gsum(jnp.einsum("ui,ui->u", red.b, ainv_rs), axis_name)
         s_safe = jnp.maximum(s_tot, 1e-5 * jnp.maximum(jnp.abs(s_tot), 1.0))
@@ -398,10 +401,8 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
         steps = jnp.full((u,), step, dtype=step.dtype)
         ccd_steps = jnp.full((u,), step0, dtype=step.dtype)
     else:
-        ds, dt = jax.vmap(
-            lambda l: kkt.finish_direction(l, l.schur_s, l.schur_r)
-        )(ls)
-        rs, rt, ainv_rs = jax.vmap(kkt.correct_direction)(red, ls, ds, dt)
+        ds, dt = kkt.finish_direction(ls, ls.schur_s, ls.schur_r)
+        rs, rt, ainv_rs = kkt.correct_direction(red, ls, ds, dt)
         br = jnp.einsum("ui,ui->u", red.b, ainv_rs)
         s_safe = jnp.maximum(
             ls.schur_s, 1e-5 * jnp.maximum(jnp.abs(ls.schur_s), 1.0)
@@ -477,8 +478,11 @@ def multi_admm_step_jit(consts, cfg, state, scene, coupled):
 
 def init_multi_state(ops, way_points_list, init_piece_time: float = 20.0, dtype=None):
     """Stack per-robot initial states (multi init_variable,
-    Main/multiPathPlanning3D.cpp:342-467)."""
+    Main/multiPathPlanning3D.cpp:342-467, uniform waypoint interpolation)."""
     from ..types import init_state
 
-    states = [init_state(ops, wp, init_piece_time, dtype) for wp in way_points_list]
+    states = [
+        init_state(ops, wp, init_piece_time, dtype, layout="multi")
+        for wp in way_points_list
+    ]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)

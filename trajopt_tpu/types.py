@@ -150,14 +150,16 @@ def init_state(
     way_points: np.ndarray,
     init_piece_time: float = 20.0,
     dtype=None,
+    layout: str = "single",
 ) -> SolverState:
     """Build the initial ADMM state from waypoints.
 
     Mirrors `init_variable` (Main/admmPathPlanning3D.cpp:249-291): spline from
     waypoints with pinned ends, slack = converted spline, duals zero,
-    per-piece slack times = initial piece_time.
+    per-piece slack times = initial piece_time.  ``layout``: see
+    `ops.splines.waypoints_to_spline`.
     """
-    spline = _sp.waypoints_to_spline(way_points, ops.order)
+    spline = _sp.waypoints_to_spline(way_points, ops.order, layout=layout)
     assert spline.shape[0] == ops.trajectory_num
     idx = _sp.piece_row_index(ops.piece_num, ops.order)
     pieces = spline[idx]                                   # [P, n, 3]
