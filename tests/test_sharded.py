@@ -75,6 +75,37 @@ def test_sharded_multi_iteration_run():
     np.testing.assert_allclose(pt, pt[0])  # shared time stays shared
 
 
+def test_2d_mesh_matches_vmapped_single_chip():
+    """(scenario, robot) 2-D mesh == vmap of the single-chip step over
+    scenarios: scenario axis carries no communication, robot collectives stay
+    per-scenario."""
+    cfg, consts, scene, state = make_problem(uav_num=4)
+    # two scenarios: identical scene, second state jittered deterministically
+    state2 = state._replace(spline=state.spline + 1e-3)
+    states = jax.tree.map(lambda a, b: jnp.stack([a, b]), state, state2)
+    scenes = jax.tree.map(lambda x: jnp.stack([x, x]), scene)
+
+    ref_states, ref_diags = jax.vmap(
+        lambda st, sc: multi_mod.multi_admm_step(
+            consts, cfg, st, sc, coupled=True, axis_name=None
+        )
+    )(states, scenes)
+
+    mesh = sharded.make_mesh_2d(2, 4)
+    assert mesh.shape == {"scenario": 2, "robot": 4}
+    step = sharded.sharded_multi_step_2d(consts, cfg, mesh, coupled=True)
+    got_states, got_diags = step(states, scenes)
+
+    for name, a, b in zip(ref_states._fields, ref_states, got_states):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-9,
+            err_msg=f"state field {name} diverged on the 2-D mesh",
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref_diags.gnorm), np.asarray(got_diags.gnorm), rtol=1e-8
+    )
+
+
 def test_dryrun_entrypoints():
     """The driver-facing entry points compile and run."""
     import sys
