@@ -53,6 +53,47 @@ def run_case(uav_num: int, coupled: bool, n_points: int = 4000,
     }
 
 
+def run_single(pieces: int, n_points: int = 20000, max_iters: int = 2000) -> dict:
+    """Single-UAV bridge-class corridor, the admmPathPlanning3D protocol
+    (ks=1e-8, kt=1 — BASELINE.md single-UAV rows, measured C++ at P=4/8/16)."""
+    import jax
+
+    from trajopt_tpu.config import TrajOptConfig
+    from trajopt_tpu import types as tt
+    from trajopt_tpu.ops import splines as sp
+    from trajopt_tpu.scenes import generators as gen
+    from trajopt_tpu.solver import driver
+
+    cfg = TrajOptConfig(ks=1e-8, max_planes=16, max_ccd_candidates=16)
+    cloud, wp = gen.bridge_scene(n_points=n_points, seed=0, n_pieces=pieces)
+    ops = sp.build_spline_ops(pieces, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(cloud)
+    state0 = tt.init_state(ops, wp, cfg.init_piece_time)
+
+    def run():
+        return driver.solve_fused(consts, cfg, state0, scene, max_iters=max_iters)
+
+    state, it, gnorm = run()
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state, it, gnorm = run()
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    iters = int(it)
+    return {
+        "case": f"single_bridge_p{pieces}",
+        "pieces": pieces,
+        "mode": "single",
+        "iters": iters,
+        "wall_ms": round(dt * 1e3, 1),
+        "iters_per_s": round(iters / dt, 2),
+        "converged": iters < max_iters,
+        "gnorm": float(gnorm),
+        "n_points": n_points,
+    }
+
+
 def run_batched(batch: int, uav_num: int = 4, n_points: int = 2000,
                 iters: int = 50) -> dict:
     """Scenario batching: vmap the coupled step over independent problems."""
@@ -117,6 +158,10 @@ def main() -> None:
             r = run_case(u, coupled)
             results.append(r)
             print(json.dumps(r), flush=True)
+    for pieces in ([4] if args.quick else [4, 8, 16]):
+        r = run_single(pieces)
+        results.append(r)
+        print(json.dumps(r), flush=True)
     for b in ([4] if args.quick else [4, 16]):
         r = run_batched(b)
         results.append(r)

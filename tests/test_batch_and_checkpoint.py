@@ -89,3 +89,42 @@ def test_resume_matches_uninterrupted(tmp_path):
             np.asarray(a), np.asarray(b), rtol=1e-12, atol=0,
             err_msg=f"resume diverged in {f}",
         )
+
+
+def test_multi_resume_matches_uninterrupted(tmp_path):
+    """Kill/resume for the multi-robot host loop (robot-batched state pytree
+    checkpoints transparently — r2 verdict task 7)."""
+    from trajopt_tpu.scenes import generators as gen2
+    from trajopt_tpu.solver import multi
+
+    cfg = TrajOptConfig(
+        res=4, max_planes=8, max_self_planes=4, max_ccd_candidates=8, ks=1e-3
+    )
+    n_pieces = 3
+    wps = []
+    for i in range(2):
+        sgn = 1 if i % 2 == 0 else -1
+        s = np.array([sgn * 3.0, 0.0, 0.26 * i])
+        e = np.array([-sgn * 3.0, 0.0, 0.26 * i])
+        t = np.linspace(0, 1, n_pieces + 1)[:, None]
+        wps.append(s * (1 - t) + e * t)
+    ops = sp.build_spline_ops(n_pieces, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(np.full((8, 3), 100.0))
+    state = multi.init_multi_state(ops, wps, cfg.init_piece_time)
+
+    ref, _ = driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=8
+    )
+    mgr = ckpt.CheckpointManager(str(tmp_path), every=1, keep=2)
+    driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=4, checkpointer=mgr
+    )
+    resumed, _ = driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=8, checkpointer=mgr
+    )
+    for f, a, b in zip(ref._fields, ref, resumed):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=0,
+            err_msg=f"multi resume diverged in {f}",
+        )

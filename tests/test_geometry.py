@@ -72,6 +72,58 @@ class TestPointHull:
         np.testing.assert_allclose(float(hd.lb), 3.0, atol=1e-5)
 
 
+class TestDegenerateHulls:
+    """Affinely-dependent vertex sets — the COMMON case in this workload
+    (straight trajectory segments have collinear control points).  r3
+    regression: the subset-GJK accepted roundoff-noise barycentric solutions
+    of degenerate faces, collapsing v toward 0 — a false 'in contact' that
+    froze the 64-robot CCD and mis-measured clearances."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_collinear_exact(self, seed):
+        rng = np.random.default_rng(seed)
+        a, b = rng.standard_normal(3), rng.standard_normal(3)
+        t = np.sort(rng.uniform(0, 1, 6))[:, None]
+        verts = a * (1 - t) + b * t
+        point = rng.standard_normal(3) * 1.5
+        # closed-form point-to-segment oracle
+        ab = b - a
+        s = np.clip((point - a) @ ab / (ab @ ab), t.min(), t.max())
+        ref = np.linalg.norm(a + s * ab - point)
+        for dtype in (np.float32, np.float64):
+            hd = geo.point_hull_distance(
+                jnp.asarray(verts.astype(dtype)), jnp.asarray(point.astype(dtype)), 16
+            )
+            tol = 2e-4 if dtype == np.float32 else 1e-9
+            assert abs(float(hd.dist) - ref) < tol * max(ref, 1.0), (float(hd.dist), ref)
+            assert float(hd.lb) <= ref + tol
+            assert float(hd.dist) - float(hd.lb) < tol * max(ref, 1.0)
+
+    def test_duplicate_vertices(self):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((3, 3))
+        verts = np.repeat(base, 2, axis=0)
+        point = rng.standard_normal(3) * 2
+        hd = geo.point_hull_distance(jnp.asarray(verts), jnp.asarray(point), 16)
+        ref = brute_point_hull(base, point)
+        assert abs(float(hd.dist) - ref) < 1e-5
+
+    def test_regression_bridge_hull(self):
+        """The exact (hull, point) pair that produced dist=2.9e-6 vs truth
+        4.083 in round 3 and froze the 64-robot bench."""
+        hull = np.array(
+            [[2.2809587, 0.0, 0.67651784], [2.5089912, 0.0, 0.6756201],
+             [2.7371867, 0.0, 0.67448187], [2.9656165, 0.0, 0.6728897],
+             [3.1942744, 0.0, 0.6706719], [3.4229255, 0.0, 0.66803765]],
+            dtype=np.float32,
+        )
+        point = np.array([3.0375373, -1.1192315, 4.5992527], dtype=np.float32)
+        hd = geo.point_hull_distance(jnp.asarray(hull), jnp.asarray(point), 16)
+        ref = brute_point_hull(hull.astype(np.float64), point.astype(np.float64))
+        assert abs(float(hd.dist) - ref) < 1e-4, (float(hd.dist), ref)
+        assert float(hd.dist) - float(hd.lb) < 1e-4
+
+
 class TestHullHull:
     @pytest.mark.parametrize("seed", range(4))
     def test_separated_clouds_vs_bruteforce(self, seed):

@@ -98,6 +98,36 @@ def test_four_robots_coupled():
     assert pairwise_min_clearance(consts, state) > cfg.offset - 1e-6
 
 
+@pytest.mark.slow
+def test_sixteen_robot_cross_coupled():
+    """Scaled-down north-star configuration (r2 regression: the 64-robot
+    coupled livelock shipped undetected because nothing between '4 robots
+    converge' and 'the bench must converge' existed).  Same scene class and
+    parameters as bench.py, 16 robots, reduced cloud."""
+    cfg = TrajOptConfig(
+        res=8, ks=1e-3, max_planes=16, max_self_planes=4, max_ccd_candidates=16
+    )
+    cloud = gen.cross_scene(n_points=1000, seed=0)
+    wps = gen.assign_lanes(gen.cross_waypoints(16, 4), cloud)
+    ops = sp.build_spline_ops(4, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(cloud)
+    state = multi.init_multi_state(ops, wps, cfg.init_piece_time)
+    state, hist = driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=150
+    )
+    gnorm = hist[-1]["gnorm"]
+    assert gnorm < cfg.stop, (
+        f"no convergence in {len(hist)} iters: "
+        f"tail {[round(h['gnorm'], 4) for h in hist[-5:]]}, "
+        f"steps {[round(h['step'], 4) for h in hist[-5:]]}"
+    )
+    # the reference converges this scene class at 16 robots in 27 iterations
+    # (BASELINE.md); allow 2x-ish headroom before calling it a regression
+    assert len(hist) <= 80, f"took {len(hist)} iters (reference: 27)"
+    assert pairwise_min_clearance(consts, state) > cfg.offset - 1e-6
+
+
 def test_fused_multi_matches_host_loop():
     """solve_fused_multi (device while_loop) == host-stepped solve_multi."""
     cfg, ops, consts, scene, state = make_problem(uav_num=2)

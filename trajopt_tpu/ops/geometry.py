@@ -37,8 +37,219 @@ class HullDist(NamedTuple):
     v: jnp.ndarray         # [3] vector from query point to closest hull point
 
 
+# ---------------------------------------------------------------------------
+# Exact simplex GJK (the default distance solver)
+# ---------------------------------------------------------------------------
+#
+# Branch-free re-architecture of openGJK's Johnson-subalgorithm GJK
+# (lib/opengjk/src/openGJK.c:754, S1D/S2D/S3D at :82-398): the distance
+# subalgorithm enumerates ALL 15 vertex subsets of the <=4-point simplex in
+# one masked batch instead of walking the case tree.  Termination is a fixed
+# iteration count (jit-static); at termination the certified lower bound
+# ``min_i u_i.v/||v||`` coincides with ``||v||``, so — unlike the
+# Frank-Wolfe solver below — near-contact clearances certify exactly like the
+# reference's openGJK distances do (Step.h:88-100).  That exactness is what
+# removes the reference-vs-TPU semantic gap that froze near-contact states
+# (planes kept being dropped / CCD kept refusing every rung).
+
+_ALL_SUBSETS = [
+    tuple(i for i in range(4) if (s >> i) & 1) for s in range(1, 16)
+]
+_FEAS_TOL = 1e-6
+
+
+def _det4_cols(a):
+    """4x4 determinant by Laplace expansion along the first two rows.
+    ``a``: nested 4x4 list of same-shaped arrays."""
+    def m2(r0, r1, c0, c1):
+        return a[r0][c0] * a[r1][c1] - a[r0][c1] * a[r1][c0]
+
+    return (
+        m2(0, 1, 0, 1) * m2(2, 3, 2, 3)
+        - m2(0, 1, 0, 2) * m2(2, 3, 1, 3)
+        + m2(0, 1, 0, 3) * m2(2, 3, 1, 2)
+        + m2(0, 1, 1, 2) * m2(2, 3, 0, 3)
+        - m2(0, 1, 1, 3) * m2(2, 3, 0, 2)
+        + m2(0, 1, 2, 3) * m2(2, 3, 0, 1)
+    )
+
+
+def _subset_solve(subset, g):
+    """Unnormalized barycentric solve x = adj(G_S) @ e for a STATIC subset.
+
+    ``subset``: tuple of active slot ids; ``g``: nested 4x4 list of Gram
+    entries (arrays of any common shape).  Returns (xs, s): dict slot->x and
+    s = sum(x); lam = x/s are the subset's barycentric coordinates.  Each
+    subset size gets its own minimal closed form — crucial for f32 accuracy
+    (a generic padded 4x4 adjugate loses ~3 digits to cancellation on
+    near-degenerate simplices)."""
+    k = len(subset)
+    if k == 1:
+        (i,) = subset
+        one = jnp.ones_like(g[i][i])
+        return {i: one}, one
+    if k == 2:
+        i, j = subset
+        xi = g[j][j] - g[i][j]
+        xj = g[i][i] - g[i][j]
+        return {i: xi, j: xj}, xi + xj
+    if k == 3:
+        i, j, l = subset
+        a_, b_, c_ = g[i][i], g[i][j], g[i][l]
+        d_, e_ = g[j][j], g[j][l]
+        f_ = g[l][l]
+        adj11 = d_ * f_ - e_ * e_
+        adj12 = c_ * e_ - b_ * f_
+        adj13 = b_ * e_ - c_ * d_
+        adj22 = a_ * f_ - c_ * c_
+        adj23 = b_ * c_ - a_ * e_
+        adj33 = a_ * d_ - b_ * b_
+        xi = adj11 + adj12 + adj13
+        xj = adj12 + adj22 + adj23
+        xl = adj13 + adj23 + adj33
+        return {i: xi, j: xj, l: xl}, xi + xj + xl
+    # k == 4: Cramer — x_i = det(G with column i replaced by ones)
+    xs = {}
+    for col in range(4):
+        a = [[(jnp.ones_like(g[0][0]) if c == col else g[r][c]) for c in range(4)]
+             for r in range(4)]
+        xs[col] = _det4_cols(a)
+    return xs, xs[0] + xs[1] + xs[2] + xs[3]
+
+
+def _min_norm_simplex(w: jnp.ndarray, active: jnp.ndarray):
+    """Min-norm point of conv(w[active]):  w [4,3], active [4] bool.
+
+    Enumerates all 15 subsets; each solves the Gram system
+    ``G_S lam = e, sum lam = 1`` (the min-norm point of the subset's affine
+    hull) via `_subset_solve`.  Soundness by construction: every candidate
+    with nonnegative normalized coefficients is a point IN the hull (an upper
+    bound on the distance), and the subset carrying the true projection
+    solves exactly, so the minimum over subsets is the exact projection even
+    when degenerate subsets produce garbage.
+    Returns (v [3], norm2 [], sub [4] bool).
+    """
+    dt = w.dtype
+    g = [[None] * 4 for _ in range(4)]
+    gm = w @ w.T                                           # [4,4]
+    for i in range(4):
+        for j in range(4):
+            g[i][j] = gm[i, j]
+
+    best_n2 = jnp.asarray(jnp.inf, dt)
+    best_v = jnp.zeros(3, dt)
+    best_sub = jnp.zeros(4, bool)
+    for subset in _ALL_SUBSETS:
+        xs, s = _subset_solve(subset, g)
+        sub_ok = jnp.asarray(True)
+        for i in subset:
+            sub_ok = sub_ok & active[i]
+        ok_sum = s > 1e-12
+        inv = 1.0 / jnp.where(ok_sum, s, 1.0)
+        v = jnp.zeros(3, dt)
+        feas = sub_ok & ok_sum
+        tot = jnp.zeros((), dt)
+        for i in subset:
+            lam = xs[i] * inv
+            feas = feas & jnp.isfinite(lam) & (lam >= -_FEAS_TOL)
+            lam_pos = jnp.maximum(lam, 0.0)
+            tot = tot + lam_pos
+            v = v + lam_pos * w[i]
+        # Degeneracy guard: for (near-)affinely-dependent subsets — the
+        # COMMON case here, straight trajectory segments have collinear
+        # control points — xs is pure roundoff noise; lam can be ~1e-6-sized
+        # (individually passing the -tol test, NOT summing to 1) and the
+        # clamped v collapses toward 0, i.e. a catastrophically-false "in
+        # contact".  A real solution has tot = 1 +- 4e-6; renormalizing and
+        # flooring tot makes v a genuine convex combination (a sound upper
+        # bound) for every accepted subset.
+        feas = feas & (tot > 0.5)
+        v = v / jnp.maximum(tot, 0.5)
+        n2 = jnp.sum(v * v)
+        score = jnp.where(feas, n2, jnp.inf)
+        take = score < best_n2
+        best_n2 = jnp.where(take, score, best_n2)
+        best_v = jnp.where(take, v, best_v)
+        best_sub = jnp.where(
+            take, jnp.asarray([i in subset for i in range(4)], bool), best_sub
+        )
+    return best_v, best_n2, best_sub
+
+
+def origin_simplex_dist(u: jnp.ndarray, iters: int = 12) -> HullDist:
+    """Distance from the origin to conv(u), u [m,3], by simplex GJK.
+
+    ``dist`` is exact up to f32 roundoff once the support loop has converged
+    (typically <= 8 additions); ``lb`` is the certified separation bound,
+    which coincides with ``dist`` at convergence.  Both remain sound
+    (lb <= true <= dist) at any iteration count.
+    """
+    m = u.shape[0]
+    scale = jnp.maximum(jnp.max(jnp.abs(u)), 1e-30)
+    us = u / scale
+    i0 = jnp.argmin(jnp.sum(us * us, axis=1))
+    w0 = jnp.broadcast_to(us[i0], (4, 3)).astype(us.dtype)
+    active0 = jnp.arange(4) == 0
+    # convergence: the support vertex cannot improve on the current simplex
+    # (KKT of the simplex solve guarantees u_i.v >= |v|^2 on active vertices,
+    # so a strictly-smaller support score implies a NEW vertex — no cycling)
+    tol = 100 * jnp.finfo(us.dtype).eps
+
+    def body(_, carry):
+        w, active, lb_best, v_best, n2_best, done = carry
+        v, n2, sub = _min_norm_simplex(w, active)
+        # monotone best iterate (f32 roundoff on ill-conditioned faces can
+        # briefly regress the raw sequence)
+        better = n2 < n2_best
+        v_best = jnp.where(better, v, v_best)
+        n2_best = jnp.where(better, n2, n2_best)
+        vn = jnp.sqrt(jnp.maximum(n2, _EPS))
+        scores = us @ v                                    # [m]
+        lb_best = jnp.maximum(lb_best, jnp.min(scores) / vn)
+        s = jnp.argmin(scores)
+        # done when: support can't improve; origin inside the full simplex;
+        # or no progress (the support vertex is already in the simplex — an
+        # f32-degenerate face solve; iterating further would cycle).  The
+        # outputs stay sound either way: v is a real hull point (upper
+        # bound), lb a real separation certificate (lower bound).
+        stale = jnp.any(active & jnp.all(w == us[s][None, :], axis=1))
+        done = (
+            done
+            | (scores[s] >= n2 - tol * jnp.maximum(n2, 1.0))
+            | jnp.all(sub)
+            | stale
+        )
+        free = jnp.argmin(sub)                             # first inactive slot
+        w_new = w.at[free].set(us[s])
+        active_new = sub.at[free].set(True)
+        w = jnp.where(done, w, w_new)
+        active = jnp.where(done, active, active_new)
+        return w, active, lb_best, v_best, n2_best, done
+
+    w, active, lb_best, v_best, n2_best, _ = jax.lax.fori_loop(
+        0, iters, body,
+        (w0, active0, jnp.asarray(-jnp.inf, us.dtype),
+         jnp.zeros(3, us.dtype), jnp.asarray(jnp.inf, us.dtype),
+         jnp.asarray(False)),
+    )
+    v, n2, _ = _min_norm_simplex(w, active)
+    better = n2 < n2_best
+    v = jnp.where(better, v, v_best)
+    n2 = jnp.where(better, n2, n2_best)
+    dist = jnp.sqrt(jnp.maximum(n2, 0.0)) * scale
+    lb = jnp.minimum(lb_best * scale, dist)
+    return HullDist(dist=dist, lb=lb, v=v * scale)
+
+
 def point_hull_distance(verts: jnp.ndarray, point: jnp.ndarray, iters: int = 24) -> HullDist:
-    """Distance from ``point`` to the convex hull of ``verts`` [m,3].
+    """Distance from ``point`` to the convex hull of ``verts`` [m,3] —
+    exact simplex GJK (see `origin_simplex_dist`)."""
+    return origin_simplex_dist(verts - point, iters)
+
+
+def point_hull_distance_fw(verts: jnp.ndarray, point: jnp.ndarray, iters: int = 24) -> HullDist:
+    """Frank-Wolfe distance solver (kept as a second, independent
+    implementation for cross-checks; its ``lb`` is loose near contact).
 
     Frank-Wolfe with a paired away-step (picks whichever of the FW/pairwise
     update decreases the objective more), fixed ``iters`` iterations.
@@ -103,18 +314,18 @@ def use_pallas_gjk(cfg, dtype) -> bool:
 def batched_origin_dist(
     diffsets: jnp.ndarray, iters: int, pallas: bool = False
 ) -> HullDist:
-    """Distance from the origin to conv(diffsets[i]) for a flat batch [N,m,3].
+    """Distance from the origin to conv(diffsets[i]) for a flat batch [N,m,3]
+    — exact simplex GJK (matches the reference's openGJK distance semantics).
 
     ``pallas=True`` routes to the fused TPU kernel (`ops.pallas_gjk`), which
-    runs the whole Frank-Wolfe iteration in VMEM in a single dispatch; the
+    runs the whole simplex iteration in VMEM in a single dispatch; the
     fallback is the vmapped pure-JAX solver (identical math).
     """
     if pallas:
         from . import pallas_gjk
 
-        return pallas_gjk.gjk_diffset(diffsets, iters)
-    zero = jnp.zeros(3, dtype=diffsets.dtype)
-    return jax.vmap(lambda d: point_hull_distance(d, zero, iters))(diffsets)
+        return pallas_gjk.gjk_exact_diffset(diffsets, min(iters, 16))
+    return jax.vmap(lambda d: origin_simplex_dist(d, min(iters, 16)))(diffsets)
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +357,7 @@ def obstacle_plane(
     vn = jnp.maximum(hd.dist, _EPS)
     c = hd.v / vn
     d = -jnp.dot(c, point) - offset
-    valid = (hd.dist <= offset + margin) & (hd.lb > 1e-7)
+    valid = hd.dist <= offset + margin
     return PlaneFit(c=c, d=d, valid=valid, dist=hd.dist)
 
 
@@ -172,7 +383,7 @@ def pair_plane(
     d1 = jnp.max(-hull_a @ c)
     d = 0.5 * (d0 + d1)
     d = _optimal_d(hull_a, hull_b, c, d, offset, margin, refine_iters)
-    valid = (hd.dist <= offset + 2 * margin) & (hd.lb > 1e-7)
+    valid = hd.dist <= offset + 2 * margin
     return PlaneFit(c=c, d=d, valid=valid, dist=hd.dist)
 
 

@@ -35,20 +35,78 @@ from .gradients import N_CP
 _UNROLL_MAX = 64
 
 
+_BT_BLOCK = 18  # 6 stored rows x 3 coords: coord bandwidth is 17 (pieces
+                # share 3 stored rows), so 18-blocks make A block-tridiagonal
+
+
+def _factor_block_tridiag(a: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky of the block-banded spline KKT via a block-tridiagonal scan.
+
+    The reference runs sparse `SimplicialLLT` on this system
+    (Optimization3D_admm.h:470-475); XLA's dense Cholesky is O(ns^3) with a
+    long sequential panel chain.  Here the exact structure is used: with
+    18-coordinate blocks the matrix is block-tridiagonal, so L is
+    block-bidiagonal and one `lax.scan` of P/2-ish 18x18 factor/solve steps
+    produces the same L as the dense factorization (equal up to roundoff —
+    Cholesky is unique).  Returns a dense [ns, ns] lower factor so every
+    downstream solve path is unchanged.  Batch-polymorphic.
+    """
+    ns = a.shape[-1]
+    nb = -(-ns // _BT_BLOCK)
+    pad = nb * _BT_BLOCK - ns
+    batch = a.shape[:-2]
+    if pad:
+        eye_pad = jnp.eye(ns + pad, dtype=a.dtype)[ns:]
+        a = jnp.concatenate(
+            [jnp.concatenate([a, jnp.zeros(batch + (ns, pad), a.dtype)], -1),
+             jnp.broadcast_to(eye_pad, batch + (pad, ns + pad))],
+            -2,
+        )
+    k = _BT_BLOCK
+    blocks = a.reshape(batch + (nb, k, nb, k))
+    # diagonal blocks D_b = A[bk:(b+1)k, bk:(b+1)k]; sub-diagonal E_b below
+    idx = jnp.arange(nb)
+    d = blocks[..., idx, :, idx, :]                      # [nb, ..., k, k]
+    e = blocks[..., idx[1:], :, idx[:-1], :]             # [nb-1, ..., k, k] sub-diag
+    e = jnp.concatenate([jnp.zeros_like(e[:1]), e], axis=0)
+
+    def step(l_prev, de):
+        d_b, e_b = de
+        # X_b = E_b L_{b-1}^{-T}  (solve L_{b-1} X^T = E^T)
+        xt = jax.scipy.linalg.solve_triangular(l_prev, e_b.swapaxes(-1, -2), lower=True)
+        x = xt.swapaxes(-1, -2)
+        dp = d_b - x @ x.swapaxes(-1, -2)
+        l_b = jnp.linalg.cholesky(dp)
+        return l_b, (l_b, x)
+
+    l0 = jnp.broadcast_to(jnp.eye(k, dtype=a.dtype), batch + (k, k))
+    _, (ls, xs) = jax.lax.scan(step, l0, (d, e))
+
+    # write the block-bidiagonal factor back into a dense lower triangle
+    full = jnp.zeros(batch + (nb * k, nb * k), dtype=a.dtype)
+    full = full.reshape(batch + (nb, k, nb, k))
+    full = full.at[..., idx, :, idx, :].set(ls)
+    full = full.at[..., idx[1:], :, idx[:-1], :].set(xs[1:])
+    full = full.reshape(batch + (nb * k, nb * k))
+    return full[..., :ns, :ns]
+
+
 def _factor(a: jnp.ndarray) -> jnp.ndarray:
     """Lower factor of PD(ish) blocks [..., ns, ns] (batch-polymorphic).
 
     Small blocks route to the fused modified-Cholesky kernels, whose GMW
     boosts engage only if f32 roundoff made a block numerically indefinite
     (the iterative-refinement round in `correct_direction` then corrects
-    toward the true system)."""
+    toward the true system).  Large systems (P >= 8 single-UAV splines) use
+    the block-tridiagonal scan — the structure `SimplicialLLT` exploits in
+    the reference."""
     ns = a.shape[-1]
     if ns <= _UNROLL_MAX:
         if pc.use_pallas_linalg(a.dtype):
             l, _ = pc.mod_chol(a.reshape((-1, ns, ns)))
             return l.reshape(a.shape)
         return sc.mod_cholesky(a)[0]
-    return jnp.linalg.cholesky(a)
+    return _factor_block_tridiag(a)
 
 
 def _factor_solve(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

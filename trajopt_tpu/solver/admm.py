@@ -59,14 +59,27 @@ def separate_planes(
     vn = jnp.maximum(hd.dist, 1e-12)
     c = (hd.v / vn[:, None]).astype(spline.dtype)
     d = -jnp.einsum("nd,nd->n", c, pts_f.astype(spline.dtype)) - cfg.offset
-    valid = (hd.dist <= radius) & (hd.lb > 1e-7)
+    # Near-contact feasibility clamp: the reference's exact GJK guarantees a
+    # generated plane is strictly feasible at the incumbent (hull distance
+    # along c == true distance > offset, Separate.h:107-151); under f32 the
+    # witness direction can lose the last digits of that guarantee exactly
+    # when hulls are a hair above offset.  Raising d (which only WEAKENS the
+    # obstacle-side offset, never the hull-side constraint) keeps the plane
+    # active so the barrier pushes the hull away — the reference's escape
+    # semantics — instead of marking the incumbent infeasible and freezing
+    # the line search.
+    hull_f = jnp.broadcast_to(hull[:, :, None], (p, r, k, n, 3)).reshape(-1, n, 3)
+    s_min = jnp.min(
+        jnp.einsum("nmd,nd->nm", hull_f.astype(spline.dtype), c), axis=1
+    )
+    d = jnp.maximum(d, 1e-3 * cfg.margin - s_min)
+    valid = hd.dist <= radius
 
     if cfg.optimal_plane:
         # barrier-optimal refinement (Optimal_plane::optimal_cd).  Deviation
         # from the reference: refined per iteration from the fresh GJK plane
         # rather than via the persistent per-(segment, obstacle) cache of
         # CCDUtils.h:68-70 — fixed-K tables have no stable slots to cache into.
-        hull_f = jnp.broadcast_to(hull[:, :, None], (p, r, k, n, 3)).reshape(-1, n, 3)
         c2, d2 = jax.vmap(
             lambda h, q, cc: geo.refine_plane(h, q, cc, cfg.offset, cfg.margin)
         )(hull_f, pts_f, c)

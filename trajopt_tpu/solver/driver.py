@@ -153,9 +153,15 @@ def solve_multi(
     scene: Scene,
     coupled: bool | None = None,
     max_iters: int | None = None,
+    checkpointer=None,
 ) -> tuple[SolverState, list[dict]]:
     """Host-driven multi-robot loop (coupled defaults to ``not cfg.decouple``,
-    the reference's mode switch, Main/multiPathPlanning3D.cpp:664-678)."""
+    the reference's mode switch, Main/multiPathPlanning3D.cpp:664-678).
+
+    ``checkpointer``: optional `runtime.checkpoint.CheckpointManager`; resumes
+    from its latest checkpoint (the whole robot-batched state is one pytree)
+    and saves every N iterations — preemption-safe long multi-robot runs.
+    """
     from . import multi as multi_mod
 
     coupled = (not cfg.decouple) if coupled is None else coupled
@@ -163,6 +169,12 @@ def solve_multi(
     warn_on_coarse_overflow(consts, cfg, state.spline, scene)
     history: list[dict] = []
     it, gnorm = 0, np.inf
+    if checkpointer is not None:
+        restored = checkpointer.restore_latest(dtype=state.spline.dtype)
+        if restored is not None:
+            state, meta = restored
+            it = meta["step"] + 1
+            gnorm = meta.get("extra", {}).get("gnorm", np.inf)
     while it < max_iters:
         if it > 1 and gnorm < cfg.stop:
             break
@@ -182,6 +194,8 @@ def solve_multi(
                 "wall_ms": (time.perf_counter() - t0) * 1e3,
             }
         )
+        if checkpointer is not None:
+            checkpointer.maybe_save(it, state, extra={"gnorm": gnorm})
         it += 1
     return state, history
 

@@ -136,11 +136,19 @@ def self_planes(
             ha, hb, cc, dd, cfg.offset, cfg.margin, 8
         )
     )(flat_mine, flat_other, c, d)
-    valid = (hd.dist <= cfg.offset + 2 * cfg.margin) & (hd.lb > 1e-7)
+    # Near-contact feasibility clamp on this robot's OWN side (see
+    # solver/admm.py::separate_planes): keeps the plane live (pushing the
+    # pair apart like the reference's exact-GJK planes, Separate.h:265-286)
+    # instead of dropped/infeasible when f32 leaves the midplane a hair on
+    # the wrong side of the hull.  Raising d only weakens the pair offset.
+    my_smin = jnp.min(jnp.einsum("nmd,nd->nm", flat_mine, c), axis=1)
+    d_store = d - 0.5 * cfg.offset
+    d_store = jnp.maximum(d_store, 1e-3 * cfg.margin - my_smin)
+    valid = hd.dist <= cfg.offset + 2 * cfg.margin
     shape = idx.shape
     return Planes(
         c=c.reshape(*shape, 3),
-        d=(d - 0.5 * cfg.offset).reshape(shape).astype(splines.dtype),
+        d=d_store.reshape(shape).astype(splines.dtype),
         mask=cand_mask & valid.reshape(shape),
     )
 
