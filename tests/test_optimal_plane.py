@@ -44,6 +44,40 @@ def test_refined_plane_not_worse():
     assert worse == 0
 
 
+def test_refined_pair_plane_not_worse():
+    """self_optimal_cd equivalent: refined pair plane lowers (or keeps) the
+    symmetric two-sided barrier energy vs the fresh mid-plane."""
+
+    def pair_energy(a, b, c, d, offset, margin):
+        e = 0.0
+        for dist in list(a @ c + d - 0.5 * offset) + list(-(b @ c) - d - 0.5 * offset):
+            if dist <= 0:
+                return np.inf
+            if dist < margin:
+                e += -((dist - margin) ** 2) * np.log(dist / margin)
+        return e
+
+    rng = np.random.default_rng(11)
+    checked = 0
+    for trial in range(12):
+        a = rng.standard_normal((6, 3)) * 0.1 + np.array([0, 0, 0.18])
+        b = rng.standard_normal((6, 3)) * 0.1 - np.array([0, 0, 0.18])
+        fit = geo.pair_plane(jnp.asarray(a), jnp.asarray(b), 0.1, 0.1, 40)
+        if not bool(fit.valid):
+            continue
+        e0 = pair_energy(a, b, np.asarray(fit.c), float(fit.d), 0.1, 0.1)
+        if not np.isfinite(e0):
+            continue
+        c2, d2 = geo.refine_pair_plane(
+            jnp.asarray(a), jnp.asarray(b), fit.c, fit.d, 0.1, 0.1
+        )
+        e1 = pair_energy(a, b, np.asarray(c2), float(d2), 0.1, 0.1)
+        assert e1 <= e0 + 1e-8, (trial, e0, e1)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(c2)), 1.0, atol=1e-6)
+        checked += 1
+    assert checked >= 4
+
+
 def test_solver_runs_with_optimal_plane():
     cfg = TrajOptConfig(res=2, max_planes=8, max_ccd_candidates=8, optimal_plane=True)
     cloud = gen.sphere_scene(200, radius=1.0, seed=1)
@@ -56,3 +90,37 @@ def test_solver_runs_with_optimal_plane():
     state = tt.init_state(ops, wp, cfg.init_piece_time)
     state, hist = driver.solve(consts, cfg, state, scene, max_iters=80)
     assert hist[-1]["gnorm"] < cfg.stop
+
+
+def test_plane_cache_warm_start_not_worse():
+    """Persistent-cache refinement (CCDUtils.h:64-70 semantics): on a fixed
+    state, iterated cached refinement reaches a barrier energy <= the fresh
+    single-shot refinement (refinement accumulates across iterations)."""
+    import jax.numpy as jnp2
+
+    cfg = TrajOptConfig(res=2, max_planes=8, max_ccd_candidates=8, optimal_plane=True)
+    cloud = gen.sphere_scene(300, radius=1.1, seed=3)
+    wp = np.array([[-3.0, 0, 0], [-1.2, 1.25, 0], [1.2, 1.25, 0], [3.0, 0, 0]])
+    ops = sp.build_spline_ops(len(wp) - 1, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(cloud)
+    state = tt.init_state(ops, wp, cfg.init_piece_time)
+
+    from trajopt_tpu.ops import energies as en
+    from trajopt_tpu.types import empty_plane_cache
+
+    def barrier(planes):
+        return float(
+            en.plane_barrier_energy(consts, cfg, state.spline, planes).value
+        )
+
+    fresh = admm.separate_planes(consts, cfg, state.spline, scene)
+    cache = empty_plane_cache(consts.piece_num, consts.res, cfg.max_planes)
+    for _ in range(3):
+        cached_planes, cache = admm.separate_planes(
+            consts, cfg, state.spline, scene, cache
+        )
+    if int(np.asarray(fresh.mask).sum()) == 0:
+        return  # scene variant without active planes: nothing to compare
+    assert (np.asarray(cached_planes.mask) == np.asarray(fresh.mask)).all()
+    assert barrier(cached_planes) <= barrier(fresh) + 1e-9

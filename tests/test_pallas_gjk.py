@@ -67,6 +67,37 @@ def test_separated_pairs():
     assert (np.asarray(got.lb) > 0.5).all()  # clearly separated
 
 
+@pytest.mark.parametrize("n,m", [(5, 6), (130, 12), (40, 36)])
+def test_exact_kernel_matches_pure_jax(n, m):
+    """gjk_exact_diffset (the production solver) vs origin_simplex_dist and
+    the f64 brute oracle — including collinear (degenerate) sets."""
+    rng = np.random.default_rng(n * 7 + m)
+    u = rng.standard_normal((n, m, 3)).astype(np.float32)
+    # make a third of the sets collinear (the real workload's common case)
+    for i in range(0, n, 3):
+        a, b = rng.standard_normal(3), rng.standard_normal(3)
+        t = np.sort(rng.uniform(0, 1, m))[:, None]
+        u[i] = (a * (1 - t) + b * t).astype(np.float32)
+    got = pg.gjk_exact_diffset(jnp.asarray(u), iters=12)
+    ref = jax.vmap(lambda d: geo.origin_simplex_dist(d, 12))(jnp.asarray(u))
+    from tests.test_geometry import brute_point_hull
+
+    for i in range(0, n, max(1, n // 16)):
+        true = brute_point_hull(u[i].astype(np.float64), np.zeros(3))
+        tol = 2e-4 * (1.0 + true)
+        assert float(got.lb[i]) <= true + tol
+        assert float(got.dist[i]) >= true - tol
+        if true > 1e-3:
+            assert abs(float(got.dist[i]) - true) < 5e-3 * (1 + true), (
+                i, float(got.dist[i]), true,
+            )
+    # bounds of kernel and pure JAX agree closely on separated sets
+    sep = np.asarray(ref.dist) > 1e-2
+    np.testing.assert_allclose(
+        np.asarray(got.dist)[sep], np.asarray(ref.dist)[sep], rtol=2e-2, atol=2e-3
+    )
+
+
 def test_point_hull_witness_direction():
     verts = np.array(
         [[[0, 0, 1.0], [1, 0, 1], [0, 1, 1], [1, 1, 1], [0.5, 0.5, 2], [0.2, 0.8, 1.5]]],

@@ -441,6 +441,95 @@ def _barrier_d2(dist, margin):
     return jnp.where(act, e2, 0.0)
 
 
+def refine_pair_plane(
+    hull_a: jnp.ndarray,     # [n,3]
+    hull_b: jnp.ndarray,     # [n,3]
+    c: jnp.ndarray,          # [3] current unit normal (A side positive)
+    d: jnp.ndarray,          # [] current midplane offset
+    offset: float,
+    margin: float,
+    iters: int = 6,
+    ladder: int = 10,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Barrier-optimal robot-pair plane refinement
+    (`Optimal_plane::self_optimal_cd`, Optimal_plane.h:620-773): damped
+    Newton on the SYMMETRIC two-sided barrier in local rotation coordinates
+    (theta, phi) of the unit normal, with ``d`` re-optimized by the 1-D
+    Newton of `_optimal_d` at each trial normal.
+
+    Returns (c, d); falls back to the inputs when refinement cannot improve
+    while keeping both sides strictly feasible.
+    """
+
+    def frame(cv):
+        c0 = jnp.stack([cv[1], -cv[0], jnp.zeros((), cv.dtype)])
+        n0 = jnp.sqrt(jnp.maximum(jnp.sum(c0 * c0), _EPS))
+        c0 = jnp.where(n0 > 1e-6, c0 / n0, jnp.array([1.0, 0.0, 0.0], cv.dtype))
+        c1 = jnp.cross(c0, cv)
+        c1 = c1 / jnp.sqrt(jnp.maximum(jnp.sum(c1 * c1), _EPS))
+        return c0, c1
+
+    def both_sides_energy(cv, dv):
+        dist_a = hull_a @ cv + dv - 0.5 * offset
+        dist_b = -(hull_b @ cv) - dv - 0.5 * offset
+
+        def side(dist):
+            act = (dist > 0) & (dist < margin)
+            ds = jnp.where(act, dist, margin)
+            e = jnp.where(act, -((ds - margin) ** 2) * jnp.log(ds / margin), 0.0)
+            e_bad = jnp.where(dist <= 0, (margin - dist) ** 2 * 1e3, 0.0)
+            return jnp.sum(e + e_bad)
+
+        return side(dist_a) + side(dist_b)
+
+    def energy_of(cv):
+        dv = _optimal_d(
+            hull_a, hull_b, cv,
+            0.5 * (jnp.min(-hull_b @ cv) + jnp.max(-hull_a @ cv)),
+            offset, margin, 4,
+        )
+        return both_sides_energy(cv, dv), dv
+
+    def body(_, carry):
+        cv, dv = carry
+        c0, c1 = frame(cv)
+
+        def local_e(tp):
+            th, ph = tp[0], tp[1]
+            cc = jnp.cos(th) * cv + jnp.sin(th) * (jnp.cos(ph) * c0 + jnp.sin(ph) * c1)
+            return both_sides_energy(cc, dv)
+
+        tp0 = jnp.zeros(2, cv.dtype)
+        g = jax.grad(local_e)(tp0)
+        h = jax.jacfwd(jax.grad(local_e))(tp0)
+        h = h + 1e-2 * jnp.eye(2, dtype=cv.dtype)
+        det = h[0, 0] * h[1, 1] - h[0, 1] * h[1, 0]
+        det = jnp.where(jnp.abs(det) > _EPS, det, 1.0)
+        inv = jnp.array([[h[1, 1], -h[0, 1]], [-h[1, 0], h[0, 0]]], cv.dtype) / det
+        direction = -(inv @ g)
+        big = jnp.maximum(jnp.abs(direction[0]), jnp.abs(direction[1]))
+        step0 = jnp.where(big > 0.5 * jnp.pi, 0.95 * 0.5 * jnp.pi / big, 1.0)
+        steps = step0 * (0.8 ** jnp.arange(ladder, dtype=cv.dtype))
+        w = -jnp.dot(g, direction)
+        e0 = local_e(tp0)
+        es = jax.vmap(lambda s: local_e(s * direction))(steps)
+        ok = e0 - 1e-4 * w * steps >= es
+        ok = jnp.concatenate([ok[:-1], jnp.ones(1, bool)])
+        s = steps[jnp.argmax(ok)]
+        tp = s * direction
+        cc = (
+            jnp.cos(tp[0]) * cv
+            + jnp.sin(tp[0]) * (jnp.cos(tp[1]) * c0 + jnp.sin(tp[1]) * c1)
+        )
+        cc = cc / jnp.sqrt(jnp.maximum(jnp.sum(cc * cc), _EPS))
+        e_new, d_new = energy_of(cc)
+        better = (e_new <= e0) & (w > 0)
+        return jnp.where(better, cc, cv), jnp.where(better, d_new, dv)
+
+    c_new, d_new = jax.lax.fori_loop(0, iters, body, (c, d))
+    return c_new, d_new
+
+
 def refine_plane(
     hull: jnp.ndarray,       # [n,3]
     point: jnp.ndarray,      # [3]

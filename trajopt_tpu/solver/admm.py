@@ -37,12 +37,23 @@ _SHRINK = 0.8      # Optimization3D_admm.h:542 / Step.h:97
 
 
 def separate_planes(
-    consts: SplineConsts, cfg: TrajOptConfig, spline: jnp.ndarray, scene: Scene
-) -> Planes:
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    spline: jnp.ndarray,
+    scene: Scene,
+    cache=None,
+):
     """Fixed-K separating-plane table for every subdivided segment.
 
     One flat-batched GJK solve over every (segment, candidate) pair —
-    dispatched to the fused Pallas kernel on TPU."""
+    dispatched to the fused Pallas kernel on TPU.
+
+    ``cache`` (a `types.PlaneCache`, used when ``cfg.optimal_plane``):
+    candidates whose obstacle id was planed last iteration warm-start the
+    barrier-optimal refinement from the CACHED normal — the reference's
+    persistent-plane semantics (CCDUtils.h:64-70 consumed at
+    Optimization3D_admm.h:126-193).  Returns (planes, new_cache) when a
+    cache is passed, else just planes."""
     hull = en.seg_cps(consts, spline)                       # [P,R,n,3]
     radius = cfg.offset + cfg.margin
     cand = bp.topk_candidates(hull, scene, radius, cfg.max_planes,
@@ -76,10 +87,17 @@ def separate_planes(
     valid = hd.dist <= radius
 
     if cfg.optimal_plane:
-        # barrier-optimal refinement (Optimal_plane::optimal_cd).  Deviation
-        # from the reference: refined per iteration from the fresh GJK plane
-        # rather than via the persistent per-(segment, obstacle) cache of
-        # CCDUtils.h:68-70 — fixed-K tables have no stable slots to cache into.
+        if cache is not None:
+            # persistent-plane warm start: candidates whose obstacle id has a
+            # cached plane refine from the CACHED normal (refinement
+            # accumulates across iterations, like the reference's
+            # seperate_c/seperate_d tables)
+            match = cand.idx[..., :, None] == cache.obs_id[..., None, :]  # [P,R,K,K]
+            hit = jnp.any(match, axis=-1)
+            slot = jnp.argmax(match, axis=-1)                             # [P,R,K]
+            warm = jnp.take_along_axis(cache.c, slot[..., None], axis=2)  # [P,R,K,3]
+            c = jnp.where(hit.reshape(-1)[:, None], warm.reshape(-1, 3), c)
+        # barrier-optimal refinement (Optimal_plane::optimal_cd)
         c2, d2 = jax.vmap(
             lambda h, q, cc: geo.refine_plane(h, q, cc, cfg.offset, cfg.margin)
         )(hull_f, pts_f, c)
@@ -87,11 +105,21 @@ def separate_planes(
         c = jnp.where(good[:, None], c2, c)
         d = jnp.where(good, d2, d)
 
-    return Planes(
+    mask = cand.mask & valid.reshape(p, r, k)
+    planes = Planes(
         c=c.reshape(p, r, k, 3),
         d=d.reshape(p, r, k).astype(spline.dtype),
-        mask=cand.mask & valid.reshape(p, r, k),
+        mask=mask,
     )
+    if cache is None:
+        return planes
+    from ..types import PlaneCache
+
+    new_cache = PlaneCache(
+        obs_id=jnp.where(mask, cand.idx, -1).astype(jnp.int32),
+        c=planes.c,
+    )
+    return planes, new_cache
 
 
 # ---------------------------------------------------------------------------
@@ -388,10 +416,28 @@ def admm_step(
         return _admm_step_impl(consts, cfg, state, scene)
 
 
-def _admm_step_impl(consts, cfg, state, scene):
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def admm_step_cached(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,
+    scene: Scene,
+    cache,
+) -> tuple[SolverState, StepDiag, "PlaneCache"]:
+    """`admm_step` threading the persistent plane cache (optimal_plane=1
+    semantics, CCDUtils.h:64-70)."""
+    with jax.default_matmul_precision("highest"):
+        state, diag, cache = _admm_step_impl(consts, cfg, state, scene, cache)
+    return state, diag, cache
+
+
+def _admm_step_impl(consts, cfg, state, scene, cache=None):
     # Full-f32 matmul passes are REQUIRED on TPU: the KKT blocks reach
     # condition ~1e6 and bf16-pass Cholesky produces NaN pivots.
-    planes = separate_planes(consts, cfg, state.spline, scene)
+    if cache is not None:
+        planes, cache = separate_planes(consts, cfg, state.spline, scene, cache)
+    else:
+        planes = separate_planes(consts, cfg, state.spline, scene)
     sd = spline_direction(consts, cfg, state, planes)
     step_ccd = ccd_step(consts, cfg, state.spline, sd.direction, scene)
     spline, piece_time, step = armijo_spline(consts, cfg, state, planes, sd, step_ccd)
@@ -407,4 +453,6 @@ def _admm_step_impl(consts, cfg, state, scene):
         energy=ev.value,
         infeasible=ev.infeasible,
     )
+    if cache is not None:
+        return state, diag, cache
     return state, diag

@@ -120,11 +120,24 @@ def solve(
             state, meta = restored
             it = meta["step"] + 1
             gnorm = meta.get("extra", {}).get("gnorm", np.inf)
+    # optimal_plane=1: thread the persistent plane cache (CCDUtils.h:64-70)
+    cache = None
+    if cfg.optimal_plane:
+        from ..types import empty_plane_cache
+
+        cache = empty_plane_cache(
+            consts.piece_num, consts.res, cfg.max_planes, state.spline.dtype
+        )
     while it < max_iters:
         if it > 1 and gnorm < cfg.stop:
             break
         t0 = time.perf_counter()
-        state, diag = admm.admm_step(consts, cfg, state, scene)
+        if cache is not None:
+            state, diag, cache = admm.admm_step_cached(
+                consts, cfg, state, scene, cache
+            )
+        else:
+            state, diag = admm.admm_step(consts, cfg, state, scene)
         gnorm = float(diag.gnorm)
         rec = {
             "iter": it,

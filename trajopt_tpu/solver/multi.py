@@ -136,6 +136,18 @@ def self_planes(
             ha, hb, cc, dd, cfg.offset, cfg.margin, 8
         )
     )(flat_mine, flat_other, c, d)
+    if cfg.optimal_plane:
+        # barrier-optimal rotation refinement of the pair plane
+        # (Optimal_plane::self_optimal_cd, Optimal_plane.h:620-773); the
+        # fresh mid-plane is the warm start
+        c2, d2 = jax.vmap(
+            lambda ha, hb, cc, dd: geo.refine_pair_plane(
+                ha, hb, cc, dd, cfg.offset, cfg.margin
+            )
+        )(flat_mine, flat_other, c, d)
+        good = jnp.all(jnp.isfinite(c2), axis=-1) & jnp.isfinite(d2)
+        c = jnp.where(good[:, None], c2, c)
+        d = jnp.where(good, d2, d)
     # Near-contact feasibility clamp on this robot's OWN side (see
     # solver/admm.py::separate_planes): keeps the plane live (pushing the
     # pair apart like the reference's exact-GJK planes, Separate.h:265-286)

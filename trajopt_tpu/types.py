@@ -99,6 +99,29 @@ def concat_planes(a: Planes, b: Planes) -> Planes:
     )
 
 
+class PlaneCache(NamedTuple):
+    """Persistent per-(segment, obstacle-id) separating-plane cache.
+
+    Parity with the reference's ``optimal_plane=1`` state (``is_seperate /
+    seperate_c / seperate_d``, CCDUtils.h:64-70, consumed at
+    Optimization3D_admm.h:126-193): planes survive across iterations keyed by
+    obstacle id, and a cached plane warm-starts the barrier-optimal
+    refinement (`geometry.refine_plane`) instead of restarting from the
+    fresh GJK witness — refinement ACCUMULATES.  ``obs_id == -1`` marks an
+    empty slot.
+    """
+
+    obs_id: jnp.ndarray  # [P, R, K] int32
+    c: jnp.ndarray       # [P, R, K, 3] unit normals
+
+
+def empty_plane_cache(piece_num: int, res: int, k: int, dtype=jnp.float32) -> PlaneCache:
+    return PlaneCache(
+        obs_id=jnp.full((piece_num, res, k), -1, dtype=jnp.int32),
+        c=jnp.zeros((piece_num, res, k, 3), dtype=dtype),
+    )
+
+
 class Scene(NamedTuple):
     """Static obstacle point cloud (padded to fixed N)."""
 
