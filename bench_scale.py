@@ -151,15 +151,41 @@ def main() -> None:
 
     _cache.enable()
 
+    import os
+
+    ref = {}
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools", "ref_baseline", "results.json",
+    )
+    try:
+        with open(ref_path) as f:
+            for case in json.load(f)["cases"]:
+                key = (case.get("uavs"), case.get("mode"), case.get("pieces"))
+                ref[key] = float(case["iters_per_s"])
+    except (OSError, KeyError, ValueError):
+        pass
+
+    def with_ref(r):
+        key = (
+            (r["uav_num"], r["mode"], None)
+            if "uav_num" in r
+            else (None, "single", r["pieces"])
+        )
+        if key in ref:
+            r["ref_iters_per_s"] = ref[key]
+            r["vs_baseline"] = round(r["iters_per_s"] / ref[key], 3)
+        return r
+
     results = []
     robots = [8, 16] if args.quick else [8, 16, 32, 64]
     for u in robots:
         for coupled in (True, False):
-            r = run_case(u, coupled)
+            r = with_ref(run_case(u, coupled))
             results.append(r)
             print(json.dumps(r), flush=True)
     for pieces in ([4] if args.quick else [4, 8, 16]):
-        r = run_single(pieces)
+        r = with_ref(run_single(pieces))
         results.append(r)
         print(json.dumps(r), flush=True)
     for b in ([4] if args.quick else [4, 16]):

@@ -22,3 +22,10 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; override it after import, before backend initialization.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is compile-bound (every test file /
+# xdist worker re-jits the solver at its shapes); cached CPU compiles make
+# repeat runs and parallel workers start in seconds.
+from trajopt_tpu.runtime import cache as _cache  # noqa: E402
+
+_cache.enable()

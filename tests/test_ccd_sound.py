@@ -191,3 +191,130 @@ class TestLadderFreeze:
             consts, cfg, state.spline, directions, scene, None
         )
         assert (np.asarray(steps) == 0.0).all()
+
+
+class TestAnalyticMaxStep:
+    """Soundness of the analytic max-step CCD (ops/ccd.py::obstacle_max_step /
+    pair_max_step + solver rung flooring): every returned step, swept over
+    its whole interval, must keep true clearance > offset (brute force)."""
+
+    def test_obstacle_max_step_sound(self):
+        from trajopt_tpu.config import TrajOptConfig
+        from trajopt_tpu.solver import admm
+
+        cfg = TrajOptConfig()
+        rng = np.random.default_rng(7)
+        offset = 0.1
+        nontrivial = 0
+        for trial in range(12):
+            hull = rng.normal(size=(6, 3))
+            dhull = rng.normal(size=(6, 3)) * 2.0
+            pts = rng.normal(size=(128, 3)) * 2.0
+            pmask = jnp.ones(len(pts), bool)
+            tabs = ccd_ops.build_obstacle_ccd(
+                jnp.asarray(hull)[None, None, None],
+                jnp.asarray(dhull)[None, None, None],
+                jnp.asarray(pts), pmask, 4, offset,
+            )
+            s = float(ccd_ops.obstacle_max_step(tabs, offset, 64, False)[0])
+            step = float(admm.rung_floor(cfg, jnp.asarray(s, jnp.float64)))
+            assert 0.0 <= step <= s + 1e-12
+            if step > 0.0:
+                dmin = brute_min_swept(hull, dhull, pts, step)
+                assert dmin > offset - 1e-9, (trial, s, step, dmin)
+                if step < 1.0:
+                    nontrivial += 1
+        assert nontrivial > 0, "no shrunk-step case exercised"
+
+    def test_obstacle_max_step_escapes_near_contact(self):
+        """A static point just above offset clearance (a k-DOP false positive
+        regime) must yield a strictly positive step — the absorbing-state
+        regression of the 64-robot livelock."""
+        rng = np.random.default_rng(8)
+        offset = 0.1
+        hull = rng.normal(size=(6, 3)) * 0.3
+        # place a point at clearance ~offset + 0.012 off one face
+        from trajopt_tpu.ops import geometry as geo
+        probe = np.array([10.0, 0.3, -0.2])
+        hd = geo.point_hull_distance(jnp.asarray(hull), jnp.asarray(probe), 200)
+        cvec = np.asarray(hd.v) / float(hd.dist)
+        witness = probe - np.asarray(hd.v)      # closest point on hull
+        pt = witness + cvec * (offset + 0.012)
+        dhull = rng.normal(size=(6, 3))         # generic direction
+        pmask = jnp.ones(1, bool)
+        tabs = ccd_ops.build_obstacle_ccd(
+            jnp.asarray(hull)[None, None, None],
+            jnp.asarray(dhull)[None, None, None],
+            jnp.asarray(pt)[None], pmask, 4, offset,
+        )
+        s = float(ccd_ops.obstacle_max_step(tabs, offset, 64, False)[0])
+        assert s > 0.0, "near-contact state absorbed (no positive step)"
+        dmin = brute_min_swept(hull, dhull, pt[None], s * 0.999)
+        assert dmin > offset - 1e-9
+
+    def test_pair_max_step_sound(self):
+        rng = np.random.default_rng(9)
+        offset = 0.1
+        u, n = 4, 6
+        nontrivial = 0
+        for trial in range(6):
+            hulls = rng.normal(size=(u, 1, 1, n, 3)) * 1.5
+            dhulls = rng.normal(size=(u, 1, 1, n, 3)) * 2.0
+            gids = jnp.arange(u, dtype=jnp.int32)
+            tabs = ccd_ops.build_pair_ccd(
+                jnp.asarray(hulls), jnp.asarray(dhulls),
+                jnp.asarray(hulls), jnp.asarray(dhulls), gids, 2,
+            )
+            s = float(jnp.min(ccd_ops.pair_max_step(tabs, offset, 64, False)))
+            if s <= 0.0:
+                continue
+            # brute force: pairwise swept Minkowski distance at the common step
+            for i in range(u):
+                for j in range(i + 1, u):
+                    a = np.concatenate(
+                        [hulls[i, 0, 0], hulls[i, 0, 0] + s * 0.999 * dhulls[i, 0, 0]]
+                    )
+                    b = np.concatenate(
+                        [hulls[j, 0, 0], hulls[j, 0, 0] + s * 0.999 * dhulls[j, 0, 0]]
+                    )
+                    from trajopt_tpu.ops import geometry as geo
+                    diff = (a[:, None, :] - b[None, :, :]).reshape(-1, 3)
+                    d = float(geo.origin_simplex_dist(
+                        jnp.asarray(diff, jnp.float64), 64
+                    ).dist)
+                    assert d > offset - 1e-9, (trial, s, i, j, d)
+
+        # deterministic partial-approach case: robots 4 apart, each sweeping
+        # 2.5 toward the other (total closing 5 > 4) => certified step
+        # strictly inside (0, 1)
+        base = rng.normal(size=(n, 3)) * 0.05
+        hulls = np.stack([base, base + [4.0, 0, 0]])[:, None, None]
+        dhulls = np.stack([
+            np.tile([2.5, 0.0, 0.0], (n, 1)), np.tile([-2.5, 0.0, 0.0], (n, 1))
+        ])[:, None, None]
+        gids2 = jnp.arange(2, dtype=jnp.int32)
+        tabs = ccd_ops.build_pair_ccd(
+            jnp.asarray(hulls), jnp.asarray(dhulls),
+            jnp.asarray(hulls), jnp.asarray(dhulls), gids2, 2,
+        )
+        s = float(jnp.min(ccd_ops.pair_max_step(tabs, offset, 64, False)))
+        assert 0.0 < s < 1.0, s
+        a = np.concatenate([hulls[0, 0, 0], hulls[0, 0, 0] + s * 0.999 * dhulls[0, 0, 0]])
+        b = np.concatenate([hulls[1, 0, 0], hulls[1, 0, 0] + s * 0.999 * dhulls[1, 0, 0]])
+        from trajopt_tpu.ops import geometry as geo
+        diff = (a[:, None, :] - b[None, :, :]).reshape(-1, 3)
+        d = float(geo.origin_simplex_dist(jnp.asarray(diff, jnp.float64), 64).dist)
+        assert d > offset - 1e-9, (s, d)
+
+    def test_rung_floor_lattice(self):
+        from trajopt_tpu.config import TrajOptConfig
+        from trajopt_tpu.solver import admm
+
+        cfg = TrajOptConfig()
+        for s, want in [(1.5, 1.0), (1.0, 1.0), (0.9, 0.8), (0.8, 0.8),
+                        (0.79, 0.8 ** 2), (0.0, 0.0), (-1.0, 0.0)]:
+            got = float(admm.rung_floor(cfg, jnp.asarray(s, jnp.float64)))
+            assert abs(got - want) < 1e-12, (s, got, want)
+        # below the smallest rung -> 0
+        tiny = float(admm.rung_floor(cfg, jnp.asarray(1e-9, jnp.float64)))
+        assert tiny == 0.0

@@ -229,3 +229,51 @@ def test_psd_repair_ladder_all_fail_degenerate():
         fixed = np.asarray(gr.psd_repair_ladder(h))
         wmin = np.linalg.eigvalsh(fixed)[:, 0]
         assert (wmin > 0).all(), (c, wmin.min())
+
+
+def test_analytic_gh_matches_autodiff():
+    """ops/gradients.py::analytic_spline_gh == jacfwd(grad) oracle at f64,
+    with plane-barrier AND vel/acc-bound terms active."""
+    import dataclasses
+
+    import numpy as np
+    from trajopt_tpu.config import TrajOptConfig
+    from trajopt_tpu import types as tt
+    from trajopt_tpu.ops import splines as sp, gradients as gr, energies as en
+    from trajopt_tpu.types import Planes
+
+    rng = np.random.default_rng(0)
+    cfg = TrajOptConfig(res=4, max_planes=6)
+    ops = sp.build_spline_ops(3, cfg.res)
+    consts = tt.device_consts(ops, dtype=jnp.float64)
+    p = consts.piece_num
+    wp = rng.normal(size=(4, 3)) * 4.0
+    state = tt.init_state(ops, wp, 1.5, dtype=jnp.float64)  # small t: bounds activate
+    state = state._replace(
+        spline=state.spline + 0.01 * rng.normal(size=state.spline.shape),
+        p_lambda=jnp.asarray(rng.normal(size=state.p_lambda.shape) * 0.1),
+        t_lambda=jnp.asarray(rng.normal(size=state.t_lambda.shape) * 0.1),
+    )
+    hull = en.seg_cps(consts, state.spline)
+    k = 6
+    c = rng.normal(size=(p, cfg.res, k, 3))
+    c /= np.linalg.norm(c, axis=-1, keepdims=True)
+    dmat = np.einsum("prjd,prkd->prkj", np.asarray(hull), c)
+    d0 = -dmat.min(axis=-1) + rng.uniform(0.2, 0.8, size=(p, cfg.res, k)) * cfg.margin
+    planes = Planes(
+        c=jnp.asarray(c), d=jnp.asarray(d0),
+        mask=jnp.asarray(rng.random((p, cfg.res, k)) < 0.8),
+    )
+    dists = np.einsum("prjd,prkd->prkj", np.asarray(hull), c) + d0[..., None]
+    assert ((dists > 0) & (dists < cfg.margin)).sum() > 20, "barrier inactive"
+
+    args = (state.spline, state.piece_time, planes,
+            state.p_slack, state.t_slack, state.p_lambda, state.t_lambda)
+    ga, ha = gr.piece_grads_and_hessians(
+        consts, dataclasses.replace(cfg, grad_mode="analytic"), *args, repair=False
+    )
+    gb, hb = gr.piece_grads_and_hessians(
+        consts, dataclasses.replace(cfg, grad_mode="autodiff"), *args, repair=False
+    )
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=1e-8, atol=1e-9)

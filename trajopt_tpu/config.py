@@ -59,7 +59,10 @@ class TrajOptConfig:
     #              ~4 ms/call: XLA's batched eigh is launch-bound here),
     #   "ladder" — Cholesky shift ladder (~9 ms/call; kept for comparison).
     psd_method: str = "gmw"
-    broadphase_coarse_k: int = 256  # two-level broad phase subset (0 = direct)
+    # "analytic": closed-form batched spline grad/Hessian einsums (default,
+    #   ops/gradients.py::analytic_spline_gh); "autodiff": jacfwd(grad) oracle
+    grad_mode: str = "analytic"
+    broadphase_coarse_k: int = 64  # two-level broad phase subset (0 = direct)
 
     @property
     def order(self) -> int:

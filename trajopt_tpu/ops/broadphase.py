@@ -22,11 +22,13 @@ import jax
 import jax.numpy as jnp
 
 from ..types import Scene
+from . import pallas_topk as ptk
 
 
 class Candidates(NamedTuple):
     idx: jnp.ndarray   # [P, R, K] obstacle indices (int32)
     mask: jnp.ndarray  # [P, R, K] bool — candidate within query radius
+    d2: jnp.ndarray    # [P, R, K] squared point-to-AABB distance
 
 
 def aabb_point_dist2(
@@ -82,14 +84,14 @@ def topk_candidates(
             sub[:, None] - hi[..., None, :], 0.0
         )                                                  # [P,R,Ck,3]
         d2 = jnp.where(subok[:, None], jnp.sum(d * d, axis=-1), jnp.inf)
-        neg, loc = jax.lax.top_k(-d2, k)                   # [P,R,K]
+        nd2, loc = ptk.smallest_k(d2, k)                   # [P,R,K]
         idx = jnp.take_along_axis(cidx[:, None], loc, axis=2)
     else:
         d2 = aabb_point_dist2(lo, hi, scene.points)        # [P,R,N]
         d2 = jnp.where(scene.mask, d2, jnp.inf)
-        neg, idx = jax.lax.top_k(-d2, k)                   # [P,R,K]
-    mask = (-neg) <= radius * radius
-    return Candidates(idx=idx.astype(jnp.int32), mask=mask)
+        nd2, idx = ptk.smallest_k(d2, k)                   # [P,R,K]
+    mask = nd2 <= radius * radius
+    return Candidates(idx=idx.astype(jnp.int32), mask=mask, d2=nd2)
 
 
 def coarse_overflow(

@@ -152,6 +152,145 @@ def grad_and_hess(fn, x, *args):
     return g, h
 
 
+def _barrier_d12(d, margin, act):
+    """Elementwise (b'(d), b''(d)) of the IPC barrier -(d-m)^2 log(d/m),
+    zeroed outside ``act`` (Gradient_admm.h:380-384 e1/e2)."""
+    ds = jnp.where(act, d, margin)
+    ln = jnp.log(ds / margin)
+    dm = ds - margin
+    b1 = -2.0 * dm * ln - dm * dm / ds
+    b2 = -2.0 * ln - 4.0 * dm / ds + dm * dm / (ds * ds)
+    zero = jnp.zeros_like(ds)
+    return jnp.where(act, b1, zero), jnp.where(act, b2, zero)
+
+
+def analytic_spline_gh(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    xs: jnp.ndarray,        # [P,19]
+    data: PieceData,        # leaves with leading P
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form batched gradient/Hessian of `local_spline_energy`.
+
+    The autodiff route (`jacfwd(grad)`) re-traces the whole energy graph per
+    tangent — hundreds of small fused kernels per step on TPU.  Every term
+    here is either linear (plane distances, AL) or a norm of a linear map
+    (vel/acc) in the 18 CP coordinates, so the exact Hessian collapses to a
+    handful of einsums over [P,R,K,n] (the reference hand-derives the same
+    rank structure, Gradient_admm.h:331-572).  Validated against autodiff at
+    f64 in tests/test_energies_gradients.py.
+    """
+    p_num, _ = xs.shape
+    n = N_CP - 1
+    cp = xs[:, : 3 * N_CP].reshape(p_num, N_CP, 3)
+    t = xs[:, 3 * N_CP]                                   # [P]
+    B = data.seg_basis                                    # [P,R,n_cp,n_cp]
+    w = data.seg_weight                                   # [P,R]
+    lam = cfg.lam
+    eye3 = jnp.eye(3, dtype=xs.dtype)
+
+    hull = jnp.einsum("prji,pid->prjd", B, cp)            # [P,R,n,3]
+
+    # ---- plane barrier:  d = hull . c + d0 (LINEAR in cp) ---------------
+    d = (
+        jnp.einsum("prjd,prkd->prkj", hull, data.plane_c)
+        + data.plane_d[..., None]
+    )                                                     # [P,R,K,n]
+    act = data.plane_mask[..., None] & (d > 0) & (d < cfg.margin)
+    b1, b2 = _barrier_d12(d, cfg.margin, act)
+    wk = w[:, :, None, None]
+    e1 = lam * wk * b1
+    e2 = lam * wk * b2
+    c = data.plane_c                                      # [P,R,K,3]
+    g_cp = jnp.einsum("prkj,prji,prkd->pid", e1, B, c)
+    m_iq = jnp.einsum("prkj,prji,prjq->prkiq", e2, B, B)
+    h_cp = jnp.einsum("prkiq,prkd,prke->pidqe", m_iq, c, c)
+
+    g_t = jnp.zeros((p_num,), xs.dtype)
+    h_tt = jnp.zeros((p_num,), xs.dtype)
+    h_cpt = jnp.zeros((p_num, N_CP, 3), xs.dtype)
+
+    # ---- velocity / acceleration bounds:  norm of a LINEAR map ----------
+    def bound_terms(lin_basis, lin_val, s, ds_dt_factor, d2s_tt_factor, limit):
+        """Shared vel/acc assembly.
+
+        lin_basis: [P,R,A,n_cp] rows of the linear map; lin_val [P,R,A,3];
+        s: [P,R] scale with  d = limit - |v|*s;  ds_dt_factor: ds/dt = -f*s/t
+        (f=1 vel, f=2 acc);  d2s_tt_factor: d2(|v|s)/dt2 = g*|v|s/t^2
+        (g=2 vel, g=6 acc)."""
+        vn_raw = jnp.sqrt(jnp.sum(lin_val * lin_val, axis=-1))     # [P,R,A]
+        sv = s[:, :, None]
+        dv_raw = limit - vn_raw * sv
+        a_act = (dv_raw > 0) & (dv_raw < cfg.margin)
+        vn = jnp.where(a_act, jnp.maximum(vn_raw, 1e-30), 1.0)
+        u = lin_val / vn[..., None]
+        dv = limit - vn * sv
+        b1, b2 = _barrier_d12(dv, cfg.margin, a_act)
+        e1 = lam * w[:, :, None] * b1
+        e2 = lam * w[:, :, None] * b2
+        f = ds_dt_factor
+        tt = t[:, None, None]
+        # gradient
+        g_cp = jnp.einsum("pra,prad,prai->pid", -e1 * sv, u, lin_basis)
+        g_t = jnp.sum(e1 * f * vn * sv / tt, axis=(1, 2))
+        # cp-cp block:  e2 s^2 uu^T + e1 s/vn (uu^T - I)
+        cA = e2 * sv * sv + e1 * sv / vn
+        cB = -e1 * sv / vn
+        h_cp = jnp.einsum(
+            "pra,prai,praq,prad,prae->pidqe", cA, lin_basis, lin_basis, u, u
+        ) + jnp.einsum(
+            "pra,prai,praq,de->pidqe", cB, lin_basis, lin_basis, eye3
+        )
+        # cp-t block:  e2 (-s u)(f vn s/t) + e1 (f s/t) u
+        cT = (-e2 * f * vn * sv * sv + e1 * f * sv) / tt
+        h_cpt = jnp.einsum("pra,prad,prai->pid", cT, u, lin_basis)
+        # t-t:  e2 (f vn s/t)^2 - e1 * g * vn s/t^2
+        h_tt = jnp.sum(
+            e2 * (f * vn * sv / tt) ** 2
+            - e1 * d2s_tt_factor * vn * sv / (tt * tt),
+            axis=(1, 2),
+        )
+        return g_cp, g_t, h_cp, h_cpt, h_tt
+
+    vel_basis = n * (B[:, :, 1:, :] - B[:, :, :-1, :])     # [P,R,n-1,n_cp]
+    vel = jnp.einsum("prai,pid->prad", vel_basis, cp)
+    s_v = 1.0 / (w * t[:, None])
+    gv, gvt, hv, hvt, hvtt = bound_terms(vel_basis, vel, s_v, 1.0, 2.0, cfg.vel_limit)
+
+    acc_basis = (n - 1) * (vel_basis[:, :, 1:, :] - vel_basis[:, :, :-1, :])
+    acc = jnp.einsum("prai,pid->prad", acc_basis, cp)
+    s_a = 1.0 / (w * w * t[:, None] * t[:, None])
+    ga, gat, ha, hat, hatt = bound_terms(acc_basis, acc, s_a, 2.0, 6.0, cfg.acc_limit)
+
+    g_cp = g_cp + gv + ga
+    g_t = g_t + gvt + gat
+    h_cp = h_cp + hv + ha
+    h_cpt = h_cpt + hvt + hat
+    h_tt = h_tt + hvtt + hatt
+
+    # ---- AL consensus coupling (quadratic) ------------------------------
+    delta = jnp.einsum("pji,pid->pjd", data.convert, cp) - data.p_slack
+    g_cp = g_cp + jnp.einsum(
+        "pji,pjd->pid", data.convert, cfg.mu * delta + data.p_lambda
+    )
+    h_cp = h_cp + cfg.mu * jnp.einsum(
+        "pji,pjq,de->pidqe", data.convert, data.convert, eye3
+    )
+    g_t = g_t + cfg.mu * (t - data.t_slack) + data.t_lambda
+    h_tt = h_tt + cfg.mu
+
+    # ---- assemble [P,19] / [P,19,19] ------------------------------------
+    g = jnp.concatenate([g_cp.reshape(p_num, 3 * N_CP), g_t[:, None]], axis=1)
+    h18 = h_cp.reshape(p_num, 3 * N_CP, 3 * N_CP)
+    hct = h_cpt.reshape(p_num, 3 * N_CP)
+    h = jnp.zeros((p_num, N_LOC, N_LOC), xs.dtype)
+    h = h.at[:, : 3 * N_CP, : 3 * N_CP].set(h18)
+    h = h.at[:, : 3 * N_CP, 3 * N_CP].set(hct)
+    h = h.at[:, 3 * N_CP, : 3 * N_CP].set(hct)
+    h = h.at[:, 3 * N_CP, 3 * N_CP].set(h_tt)
+    return g, h
+
+
 _LADDER_RUNGS = 13     # nonzero rungs spanning _LADDER_DECADES below Gershgorin
 _LADDER_DECADES = 6.0  # G can overestimate -lambda_min by 1e4+ on real blocks
 _LADDER_BISECT = 3     # geometric-bisection refinements of the bracketing rungs
@@ -290,10 +429,13 @@ def piece_grads_and_hessians(
     )                                                      # [P,19]
     data = gather_piece_data(consts, planes, p_slack, t_slack, p_lambda, t_lambda)
 
-    def one(x, d):
-        return grad_and_hess(local_spline_energy, x, d, cfg)
+    if getattr(cfg, "grad_mode", "analytic") == "analytic":
+        g, h = analytic_spline_gh(consts, cfg, xs, data)
+    else:
+        def one(x, d):
+            return grad_and_hess(local_spline_energy, x, d, cfg)
 
-    g, h = jax.vmap(one)(xs, data)
+        g, h = jax.vmap(one)(xs, data)
     if not repair:
         return g, h
     return g, apply_psd_repair(cfg, h)

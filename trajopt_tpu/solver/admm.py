@@ -62,11 +62,32 @@ def separate_planes(
 
     p, r, k, _ = pts.shape
     n = hull.shape[-2]
-    diff = (hull[:, :, None] - pts[..., None, :]).reshape(-1, n, 3)  # [N,n,3]
+    nf = p * r * k
+    # Compact to the in-radius candidates (default path): the GJK + plane
+    # math runs only on the ``budget`` nearest in-radius pairs (typically a
+    # handful vs P*R*K slots), then scatters back.  Beyond-budget pairs are
+    # dropped like beyond-K candidates.  The cached/refined optimal_plane
+    # path keeps the full table (cache slots align with cand.idx).
+    compact = cache is None and not cfg.optimal_plane and nf > 256
+    if compact:
+        budget = 256
+        d2f = jnp.where(cand.mask.reshape(-1), cand.d2.reshape(-1), jnp.inf)
+        _, sel = jax.lax.top_k(-d2f, budget)
+        sel_live = cand.mask.reshape(-1)[sel]
+        hull_f = jnp.broadcast_to(
+            hull[:, :, None], (p, r, k, n, 3)
+        ).reshape(-1, n, 3)[sel]
+        pts_f = pts.reshape(-1, 3)[sel]
+    else:
+        budget = nf
+        sel = None
+        sel_live = cand.mask.reshape(-1)
+        hull_f = jnp.broadcast_to(hull[:, :, None], (p, r, k, n, 3)).reshape(-1, n, 3)
+        pts_f = pts.reshape(-1, 3)
+    diff = hull_f - pts_f[:, None, :]                       # [B,n,3]
     hd = geo.batched_origin_dist(
         diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, spline.dtype)
     )
-    pts_f = pts.reshape(-1, 3)
     vn = jnp.maximum(hd.dist, 1e-12)
     c = (hd.v / vn[:, None]).astype(spline.dtype)
     d = -jnp.einsum("nd,nd->n", c, pts_f.astype(spline.dtype)) - cfg.offset
@@ -79,7 +100,6 @@ def separate_planes(
     # active so the barrier pushes the hull away — the reference's escape
     # semantics — instead of marking the incumbent infeasible and freezing
     # the line search.
-    hull_f = jnp.broadcast_to(hull[:, :, None], (p, r, k, n, 3)).reshape(-1, n, 3)
     s_min = jnp.min(
         jnp.einsum("nmd,nd->nm", hull_f.astype(spline.dtype), c), axis=1
     )
@@ -105,12 +125,25 @@ def separate_planes(
         c = jnp.where(good[:, None], c2, c)
         d = jnp.where(good, d2, d)
 
-    mask = cand.mask & valid.reshape(p, r, k)
-    planes = Planes(
-        c=c.reshape(p, r, k, 3),
-        d=d.reshape(p, r, k).astype(spline.dtype),
-        mask=mask,
-    )
+    if compact:
+        # scatter the compacted results back into the full candidate table
+        c_full = jnp.zeros((nf, 3), spline.dtype).at[sel].set(c)
+        d_full = jnp.zeros((nf,), spline.dtype).at[sel].set(
+            d.astype(spline.dtype)
+        )
+        ok_full = jnp.zeros((nf,), bool).at[sel].set(sel_live & valid)
+        planes = Planes(
+            c=c_full.reshape(p, r, k, 3),
+            d=d_full.reshape(p, r, k),
+            mask=ok_full.reshape(p, r, k),
+        )
+    else:
+        mask = cand.mask & valid.reshape(p, r, k)
+        planes = Planes(
+            c=c.reshape(p, r, k, 3),
+            d=d.reshape(p, r, k).astype(spline.dtype),
+            mask=mask,
+        )
     if cache is None:
         return planes
     from ..types import PlaneCache
@@ -184,6 +217,46 @@ def _first_true(ok: jnp.ndarray, axis=0) -> jnp.ndarray:
     return jnp.argmax(ok, axis=axis) + jnp.where(jnp.any(ok, axis=axis), 0, ok.shape[axis])
 
 
+def staged_ladder_ok(eval_ok, ladder: jnp.ndarray, stage: int = 8) -> jnp.ndarray:
+    """Two-stage ladder evaluation: test the first ``stage`` rungs, and only
+    if some column still lacks an accept evaluate the tail (a `lax.cond`).
+
+    ``eval_ok(sub_ladder [M, ...]) -> bool [M, cols...]``.  Backtracking
+    searches accept within the first few rungs almost always, so this cuts
+    ~85% of the ladder energy evaluations from the steady-state step.  The
+    predicate is derived from (globally reduced) energies, so under shard_map
+    every shard takes the same branch."""
+    s = ladder.shape[0]
+    n1 = min(stage, s)
+    ok1 = eval_ok(ladder[:n1])
+    if n1 == s:
+        return ok1
+
+    def rest(_):
+        return eval_ok(ladder[n1:])
+
+    def skip(_):
+        return jnp.zeros((s - n1,) + ok1.shape[1:], bool)
+
+    done = jnp.all(jnp.any(ok1, axis=0))
+    ok2 = jax.lax.cond(done, skip, rest, operand=None)
+    return jnp.concatenate([ok1, ok2], axis=0)
+
+
+def rung_floor(cfg: TrajOptConfig, s: jnp.ndarray) -> jnp.ndarray:
+    """Largest ladder rung 0.8^k (k < max_line_search) strictly within the
+    certified limit ``s`` (0 if none) — maps the analytic CCD limit back onto
+    the reference's step-size lattice (Step.h:97)."""
+    dtype = s.dtype
+    k = jnp.ceil(jnp.log(jnp.maximum(s, 1e-30)) / jnp.log(jnp.asarray(_SHRINK, dtype)))
+    k = jnp.maximum(k, 0.0)
+    step = jnp.asarray(_SHRINK, dtype) ** k
+    step = jnp.where(step > s, step * _SHRINK, step)   # float-roundoff guard
+    return jnp.where(
+        (s <= 0) | (k >= cfg.max_line_search), jnp.zeros((), dtype), step
+    )
+
+
 def ladder_bisect(cfg: TrajOptConfig, admissible, dtype) -> jnp.ndarray:
     """Smallest-k search on the 0.8^k step ladder by bisection.
 
@@ -220,30 +293,18 @@ def ccd_step(
 ) -> jnp.ndarray:
     """Largest step of the form 0.8^k whose swept control hulls provably keep
     clearance > offset from all obstacle points (Step::position_step,
-    Step.h:21-110; the interval [0, 0.8^k] shrinks monotonically so the
-    ladder is bisected).  Sound for EVERY obstacle: exhaustive k-DOP
-    certification + selective GJK (ops/ccd.py)."""
+    Step.h:21-110).  Sound for EVERY obstacle: the analytic k-DOP max-step
+    (exact closed form in the sweep) + one-shot GJK refinement
+    (ops/ccd.py::obstacle_max_step), floored to the 0.8^k rung lattice —
+    one certification pass instead of the reference's shrink loop."""
     hull = en.seg_cps(consts, spline)[None]                 # [1,P,R,n,3]
     dhull = en.seg_cps(consts, direction)[None]
     tabs = ccd_ops.build_obstacle_ccd(
         hull, dhull, scene.points, scene.mask, cfg.max_ccd_candidates, cfg.offset
     )
     pallas = geo.use_pallas_gjk(cfg, spline.dtype)
-    steps = step_candidates(cfg, spline.dtype)              # [S]
-
-    def any_collision(step):
-        return jnp.any(
-            ccd_ops.obstacle_bad(tabs, step, cfg.offset, cfg.gjk_iters, pallas)
-        )
-
-    # common case: the full step is already clear — otherwise bisect the
-    # ladder (monotone admissibility) in ~7 single-step collision passes
-    return jax.lax.cond(
-        any_collision(steps[0]),
-        lambda _: ladder_bisect(cfg, lambda s: ~any_collision(s), spline.dtype),
-        lambda _: steps[0],
-        operand=None,
-    )
+    s = ccd_ops.obstacle_max_step(tabs, cfg.offset, cfg.gjk_iters, pallas)[0]
+    return rung_floor(cfg, s)
 
 
 def armijo_spline(
@@ -277,7 +338,7 @@ def armijo_spline(
     steps = step_candidates(cfg, state.spline.dtype, start=1.0) * step0  # [S]
 
     def ladder(_):
-        ok = jax.vmap(accepted)(steps)
+        ok = staged_ladder_ok(jax.vmap(accepted), steps)
         ok = jnp.concatenate([ok[:-1], jnp.ones(1, bool)])  # floor fallback
         return steps[_first_true(ok)]
 
@@ -379,9 +440,11 @@ def slack_update(
         )
         return jnp.where(jnp.isnan(ev), jnp.inf, ev)
 
-    # parallel Armijo ladder over all pieces at once: [S, P]
+    # parallel Armijo ladder over all pieces at once: [S, P], two-stage
     ladder = step_candidates(cfg, xs.dtype)[:, None] * step[None, :]
-    ok = jax.vmap(lambda sv: e0 - _ARMIJO_C * wolfe * sv >= trial(sv))(ladder)
+    ok = staged_ladder_ok(
+        jax.vmap(lambda sv: e0 - _ARMIJO_C * wolfe * sv >= trial(sv)), ladder
+    )
     ok = jnp.concatenate([ok[:-1], jnp.ones((1, p_num), bool)], axis=0)
     step = jnp.take_along_axis(ladder, _first_true(ok, axis=0)[None, :], axis=0)[0]
 

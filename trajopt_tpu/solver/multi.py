@@ -102,8 +102,9 @@ def self_planes(
     is_self = gids[:, None] == jnp.arange(u_total, dtype=jnp.int32)[None, :]
     d2 = jnp.where(is_self[:, :, None, None], jnp.inf, d2)
     d2 = jnp.moveaxis(d2, 1, -1)                                    # [U,P,R,Ut]
-    neg, idx = jax.lax.top_k(-d2, ks)                               # [U,P,R,ks]
-    cand_mask = (-neg) <= radius * radius
+    from ..ops import pallas_topk as ptk
+    nd2, idx = ptk.smallest_k(d2, ks)                               # [U,P,R,ks]
+    cand_mask = nd2 <= radius * radius
 
     # idx [U,P,R,ks] selects the partner robot; other_hulls: [U,P,R,ks,n,3]
     other_hulls = jnp.take_along_axis(
@@ -115,14 +116,24 @@ def self_planes(
         axis=3,
     )
 
-    # flat-batched mid-plane fit (Separate::selfgjk + Optimal_plane::optimal_d)
+    # flat-batched mid-plane fit (Separate::selfgjk + Optimal_plane::optimal_d),
+    # COMPACTED to the in-radius candidates: the GJK / d-refinement math runs
+    # only on the nearest ``budget`` pairs fleet-wide (typically a few dozen
+    # are in radius vs U*P*R*ks slots), then scatters back.  Pairs beyond the
+    # budget are dropped exactly like pairs beyond the ks candidate budget.
+    flat_mask = cand_mask.reshape(-1)
+    nf = flat_mask.shape[0]
+    budget = min(nf, 2048)
+    d2f = jnp.where(flat_mask, nd2.reshape(-1), jnp.inf)
+    _, sel = jax.lax.top_k(-d2f, budget)
+    sel_live = flat_mask[sel]
     flat_mine = jnp.broadcast_to(
         my_hulls[:, :, :, None], other_hulls.shape
-    ).reshape(-1, consts.n_cp, 3)
-    flat_other = other_hulls.reshape(-1, consts.n_cp, 3)
+    ).reshape(-1, consts.n_cp, 3)[sel]
+    flat_other = other_hulls.reshape(-1, consts.n_cp, 3)[sel]
     diff = (
         flat_mine[:, :, None, :] - flat_other[:, None, :, :]
-    ).reshape(flat_mine.shape[0], -1, 3)
+    ).reshape(budget, -1, 3)
     hd = geo.batched_origin_dist(
         diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, splines.dtype)
     )
@@ -157,11 +168,17 @@ def self_planes(
     d_store = d - 0.5 * cfg.offset
     d_store = jnp.maximum(d_store, 1e-3 * cfg.margin - my_smin)
     valid = hd.dist <= cfg.offset + 2 * cfg.margin
+    # scatter the compacted results back into the full candidate table
     shape = idx.shape
+    c_full = jnp.zeros((nf, 3), splines.dtype).at[sel].set(c)
+    d_full = jnp.zeros((nf,), splines.dtype).at[sel].set(
+        d_store.astype(splines.dtype)
+    )
+    ok_full = jnp.zeros((nf,), bool).at[sel].set(sel_live & valid)
     return Planes(
-        c=c.reshape(*shape, 3),
-        d=d_store.reshape(shape).astype(splines.dtype),
-        mask=cand_mask & valid.reshape(shape),
+        c=c_full.reshape(*shape, 3),
+        d=d_full.reshape(shape),
+        mask=ok_full.reshape(shape),
     )
 
 
@@ -208,28 +225,15 @@ def _self_collision(cfg, pair_tabs, my_steps, all_steps):
 
 def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
     """One fleet-wide scalar step (Step::couple_self_step + per-robot
-    position_step min-reduce, Optimization3D_multi.h:586-594): the whole
-    0.8^k ladder is tested in one batched pass (monotone in k)."""
+    position_step min-reduce, Optimization3D_multi.h:586-594): the analytic
+    per-pair max-step (ops/ccd.py) min-reduced over the fleet in a single
+    certification pass, floored to the 0.8^k rung lattice."""
     obs_tabs, pair_tabs = _build_ccd(consts, cfg, splines, directions, scene, axis_name)
-    u = splines.shape[0]
-    ladder = admm.step_candidates(cfg, splines.dtype)       # [S]
-
-    def collides_local(step):
-        steps = jnp.full((u,), step, dtype=splines.dtype)
-        all_steps_t = _gather_robots(steps, axis_name)
-        obs = _obstacle_collision(cfg, obs_tabs, steps)
-        slf = _self_collision(cfg, pair_tabs, steps, all_steps_t)
-        return jnp.any(obs | slf)
-
-    def admissible(s):
-        return ~_gany(collides_local(s), axis_name)
-
-    return jax.lax.cond(
-        _gany(collides_local(ladder[0]), axis_name),
-        lambda _: admm.ladder_bisect(cfg, admissible, splines.dtype),
-        lambda _: ladder[0],
-        operand=None,
-    )
+    pallas = geo.use_pallas_gjk(cfg, splines.dtype)
+    s_obs = ccd_ops.obstacle_max_step(obs_tabs, cfg.offset, cfg.gjk_iters, pallas)
+    s_pair = ccd_ops.pair_max_step(pair_tabs, cfg.offset, cfg.gjk_iters, pallas)
+    s = _gmin(jnp.minimum(s_obs, s_pair), axis_name)
+    return admm.rung_floor(cfg, s)
 
 
 def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
@@ -261,35 +265,10 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
     # invalidates another robot's certificate).
     steps = jnp.where(bad, jnp.zeros_like(steps), steps)
 
-    def obs_bisect(_):
-        """Vectorized per-robot bisection on the ladder exponent."""
-        s_count = cfg.max_line_search
-
-        def body(_, carry):
-            lo, hi = carry                                  # [U] ints
-            mid = (lo + hi) // 2
-            bad = _obstacle_collision(
-                cfg, obs_tabs, admm._SHRINK ** mid.astype(splines.dtype)
-            )
-            return jnp.where(bad, mid, lo), jnp.where(bad, hi, mid)
-
-        lo0 = jnp.full((u,), -1)
-        hi0 = jnp.full((u,), s_count)
-        lo, hi = jax.lax.fori_loop(0, s_count.bit_length(), body, (lo0, hi0))
-        k = jnp.minimum(hi, s_count - 1)
-        # soundness: robots with no certified rung freeze at 0 (see
-        # admm.ladder_bisect)
-        return jnp.where(
-            hi >= s_count, 0.0, admm._SHRINK ** k.astype(splines.dtype)
-        ).astype(splines.dtype)
-
-    ones = jnp.ones((u,), splines.dtype)
-    obs_steps = jax.lax.cond(
-        jnp.any(_obstacle_collision(cfg, obs_tabs, ones)),
-        obs_bisect,
-        lambda _: ones,
-        operand=None,
-    )
+    # per-robot obstacle limit: analytic max-step, rung-floored per robot
+    pallas = geo.use_pallas_gjk(cfg, splines.dtype)
+    s_obs = ccd_ops.obstacle_max_step(obs_tabs, cfg.offset, cfg.gjk_iters, pallas)
+    obs_steps = jax.vmap(lambda s: admm.rung_floor(cfg, s))(s_obs)
     return jnp.minimum(steps, obs_steps)
 
 
@@ -408,8 +387,11 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
             return e0 - _ARMIJO_C * wolfe * step >= gsum_scalar(local_energy(step))
 
         def armijo_ladder(_):
-            es = gsum_scalar(jax.vmap(local_energy)(ladder))      # [S]
-            ok = e0 - _ARMIJO_C * wolfe * ladder >= es
+            def eval_ok(ld):
+                es = gsum_scalar(jax.vmap(local_energy)(ld))      # [M]
+                return e0 - _ARMIJO_C * wolfe * ld >= es
+
+            ok = admm.staged_ladder_ok(eval_ok, ladder)
             ok = jnp.concatenate([ok[:-1], jnp.ones(1, bool)])
             return ladder[admm._first_true(ok)]
 
@@ -464,11 +446,14 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
             return jax.vmap(one)(state, planes, directions, step_vec, dt)
 
         e0 = per_robot_energy(jnp.zeros((u,), state.spline.dtype))
-        # parallel Armijo ladder per robot: [S, U]
+        # parallel Armijo ladder per robot: [S, U], two-stage
         ladder = admm.step_candidates(cfg, state.spline.dtype)[:, None] * step0[None, :]
-        ok = jax.vmap(
-            lambda sv: e0 - _ARMIJO_C * wolfe * sv >= per_robot_energy(sv)
-        )(ladder)
+        ok = admm.staged_ladder_ok(
+            jax.vmap(
+                lambda sv: e0 - _ARMIJO_C * wolfe * sv >= per_robot_energy(sv)
+            ),
+            ladder,
+        )
         ok = jnp.concatenate([ok[:-1], jnp.ones((1, u), bool)], axis=0)
         steps = jnp.take_along_axis(
             ladder, admm._first_true(ok, axis=0)[None, :], axis=0
