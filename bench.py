@@ -44,7 +44,30 @@ _REF_FALLBACK_ITERS_PER_S = 21.5
 MAX_ITERS = 500
 N_TIMED_CALLS = 3
 UAVS = 64
-_F32_PEAK_FLOPS = 49.2e12   # TPU v5e (v5 lite) per-chip f32 peak
+
+# Per-chip f32 peak by device kind (public spec sheets); fallback: v5e.
+_F32_PEAKS = {
+    "TPU v2": 11.5e12,
+    "TPU v3": 61.4e12 / 2,      # per chip (2 cores)
+    "TPU v4": 137.5e12 / 2,     # bf16 peak/2 ~ f32
+    "TPU v5 lite": 49.2e12,
+    "TPU v5e": 49.2e12,
+    "TPU v5": 229.1e12 / 2,
+    "TPU v5p": 229.1e12 / 2,
+    "TPU v6 lite": 91.8e12,
+    "TPU v6e": 91.8e12,
+}
+
+
+def f32_peak_flops() -> float:
+    """f32 peak of the attached chip, keyed on jax device_kind."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in _F32_PEAKS.items():
+        if kind.startswith(k):
+            return v
+    return 49.2e12
 
 
 def ref_iters_per_s(uavs: int = UAVS, mode: str = "coupled") -> float:
@@ -78,7 +101,7 @@ def phase_split_ms(cfg, consts, scene, state, reps: int = 10) -> dict:
     @jax.jit
     def p_separate(st):
         with mp():
-            return multi_mod._all_planes(consts, cfg, st, scene, None)
+            return multi_mod._all_planes(consts, cfg, st, scene, None)[0]
 
     @jax.jit
     def p_dir(st, pl):
@@ -156,11 +179,12 @@ def main() -> None:
         max_planes=16, max_self=4, max_ccd=16,
     )
 
-    def run(max_iters):
+    def run(max_iters, s0=None):
         # the reference's own protocol: full solve until gnorm < stop,
         # iters/s = iter / running time (BASELINE.md)
         return driver.solve_fused_multi(
-            consts, cfg, state0, scene, coupled=True, max_iters=max_iters
+            consts, cfg, s0 if s0 is not None else state0, scene,
+            coupled=True, max_iters=max_iters
         )
 
     state, it, gnorm = run(MAX_ITERS)   # compile + warm up
@@ -169,14 +193,23 @@ def main() -> None:
     solve_iters = int(it)
 
     # timed runs: the converged solve, or a fixed 60-iteration window if the
-    # solve regressed (still record throughput — never erase the perf record)
+    # solve regressed (still record throughput — never erase the perf record).
+    # Each timed call gets an eps-perturbed initial state: the runtime DEDUPES
+    # byte-identical repeat executions (observed on the tunneled TPU backend),
+    # so identical repeats would time as ~0.
     timed_iters = MAX_ITERS if converged else 60
-    state, it, gnorm = run(timed_iters)
+    starts = [
+        state0._replace(spline=state0.spline + 1e-7 * (i + 1))
+        for i in range(N_TIMED_CALLS)
+    ]
+    warm0 = state0._replace(spline=state0.spline - 1e-7)
+    state, it, gnorm = run(timed_iters, warm0)
     jax.block_until_ready(state)
+    jax.block_until_ready(starts)
     t0 = time.perf_counter()
     total_iters = 0
-    for _ in range(N_TIMED_CALLS):
-        state, it, gnorm = run(timed_iters)
+    for s0 in starts:
+        state, it, gnorm = run(timed_iters, s0)
         total_iters += int(it)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
@@ -187,7 +220,7 @@ def main() -> None:
     phases = phase_split_ms(cfg, consts, scene, state0)
     flops = step_flops(cfg, consts, scene, state0)
     mfu = (
-        round(flops / (step_ms * 1e-3) / _F32_PEAK_FLOPS, 6)
+        round(flops / (step_ms * 1e-3) / f32_peak_flops(), 6)
         if flops
         else None
     )

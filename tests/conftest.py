@@ -23,9 +23,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the suite is compile-bound (every test file /
-# xdist worker re-jits the solver at its shapes); cached CPU compiles make
-# repeat runs and parallel workers start in seconds.
-from trajopt_tpu.runtime import cache as _cache  # noqa: E402
+# NOTE: the persistent compilation cache is deliberately NOT enabled here.
+# XLA:CPU serializes AOT executables with the *compile* machine's CPU feature
+# set; reloading them on a host whose feature validation disagrees
+# ("+prefer-no-scatter is not supported on the host machine ... could lead to
+# execution errors such as SIGILL") intermittently SEGFAULTS the test process
+# inside compilation_cache.get_executable_and_time.  TPU executables don't
+# have this problem — the solver/bench entry points still enable the cache.
 
-_cache.enable()
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    A single-process full-suite run accumulates hundreds of large XLA:CPU
+    executables; past ~16 heavy tests the NEXT big (shard_map) compile
+    segfaults inside ``backend_compile_and_load`` — reproducible in suite
+    order, never in isolation.  Releasing the in-memory jit caches at module
+    boundaries keeps the process under that threshold while preserving
+    within-module reuse.
+    """
+    yield
+    jax.clear_caches()

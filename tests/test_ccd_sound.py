@@ -11,6 +11,7 @@ step must always be flagged regardless of slot count.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from trajopt_tpu.ops import ccd as ccd_ops
 
@@ -311,10 +312,132 @@ class TestAnalyticMaxStep:
         from trajopt_tpu.solver import admm
 
         cfg = TrajOptConfig()
-        for s, want in [(1.5, 1.0), (1.0, 1.0), (0.9, 0.8), (0.8, 0.8),
+        # strict semantics: the limit is the supremum with clearance ==
+        # offset, so a rung landing exactly ON the limit shrinks once more
+        # (the max-step functions clip at 1 + 1e-6, not 1.0, so an
+        # unconstrained sweep still admits the full step)
+        for s, want in [(1.5, 1.0), (1.0 + 1e-6, 1.0), (1.0, 0.8),
+                        (0.9, 0.8), (0.8, 0.8 ** 2),
                         (0.79, 0.8 ** 2), (0.0, 0.0), (-1.0, 0.0)]:
             got = float(admm.rung_floor(cfg, jnp.asarray(s, jnp.float64)))
             assert abs(got - want) < 1e-12, (s, got, want)
         # below the smallest rung -> 0
         tiny = float(admm.rung_floor(cfg, jnp.asarray(1e-9, jnp.float64)))
         assert tiny == 0.0
+
+
+class TestAnalyticMaxStepDirect:
+    """Soundness of the table-free three-level max-step CCD
+    (ops/ccd.py::obstacle_max_step_direct / pair_max_step_direct): every
+    returned step, swept over its whole interval, keeps true clearance >
+    offset — including with TINY candidate budgets, which exercises the
+    robot-level (M+1)-th / partner (K+1)-th caps."""
+
+    @pytest.mark.parametrize("s1_slots", [128, 4])
+    def test_obstacle_direct_sound(self, s1_slots):
+        rng = np.random.default_rng(7)
+        offset = 0.1
+        nontrivial = 0
+        for trial in range(12):
+            hull = rng.normal(size=(6, 3))
+            dhull = rng.normal(size=(6, 3)) * 2.0
+            pts = rng.normal(size=(128, 3)) * 2.0
+            pmask = jnp.ones(len(pts), bool)
+            s = float(ccd_ops.obstacle_max_step_direct(
+                jnp.asarray(hull)[None, None, None],
+                jnp.asarray(dhull)[None, None, None],
+                jnp.asarray(pts), pmask, offset, 64, False,
+                s1_slots=s1_slots, n_slots=8,
+            )[0])
+            if s > 0.0:
+                dmin = brute_min_swept(hull, dhull, pts, min(s, 1.0) * 0.999)
+                assert dmin > offset - 1e-9, (trial, s1_slots, s, dmin)
+                if s < 1.0:
+                    nontrivial += 1
+        # tiny slot counts legitimately cap many cases to 0 — only the
+        # realistic budget must exercise the shrunk-step regime
+        if s1_slots >= 128:
+            assert nontrivial > 0, "no shrunk-step case exercised"
+
+    def test_obstacle_direct_escapes_near_contact(self):
+        """Near-contact k-DOP false positive must still yield s > 0 (the
+        absorbing-state regression)."""
+        rng = np.random.default_rng(8)
+        offset = 0.1
+        hull = rng.normal(size=(6, 3)) * 0.3
+        from trajopt_tpu.ops import geometry as geo
+        probe = np.array([10.0, 0.3, -0.2])
+        hd = geo.point_hull_distance(jnp.asarray(hull), jnp.asarray(probe), 200)
+        cvec = np.asarray(hd.v) / float(hd.dist)
+        witness = probe - np.asarray(hd.v)
+        pt = witness + cvec * (offset + 0.012)
+        dhull = rng.normal(size=(6, 3))
+        s = float(ccd_ops.obstacle_max_step_direct(
+            jnp.asarray(hull)[None, None, None],
+            jnp.asarray(dhull)[None, None, None],
+            jnp.asarray(pt)[None], jnp.ones(1, bool), offset, 64, False,
+        )[0])
+        assert s > 0.0, "near-contact state absorbed (no positive step)"
+        dmin = brute_min_swept(hull, dhull, pt[None], min(s, 1.0) * 0.999)
+        assert dmin > offset - 1e-9
+
+    @pytest.mark.parametrize("k_partners", [8, 1])
+    def test_pair_direct_sound(self, k_partners):
+        from trajopt_tpu.ops import geometry as geo
+
+        rng = np.random.default_rng(9)
+        offset = 0.1
+        u, n = 4, 6
+        for trial in range(6):
+            hulls = rng.normal(size=(u, 1, 1, n, 3)) * 1.5
+            dhulls = rng.normal(size=(u, 1, 1, n, 3)) * 2.0
+            gids = jnp.arange(u, dtype=jnp.int32)
+            s = float(jnp.min(ccd_ops.pair_max_step_direct(
+                jnp.asarray(hulls), jnp.asarray(dhulls),
+                jnp.asarray(hulls), jnp.asarray(dhulls), gids,
+                offset, 64, False, k_partners=k_partners, n_slots=2,
+            )))
+            if s <= 0.0:
+                continue
+            sl = min(s, 1.0) * 0.999
+            for i in range(u):
+                for j in range(i + 1, u):
+                    a = np.concatenate(
+                        [hulls[i, 0, 0], hulls[i, 0, 0] + sl * dhulls[i, 0, 0]]
+                    )
+                    b = np.concatenate(
+                        [hulls[j, 0, 0], hulls[j, 0, 0] + sl * dhulls[j, 0, 0]]
+                    )
+                    diff = (a[:, None, :] - b[None, :, :]).reshape(-1, 3)
+                    d = float(geo.origin_simplex_dist(
+                        jnp.asarray(diff, jnp.float64), 64
+                    ).dist)
+                    assert d > offset - 1e-9, (trial, k_partners, s, i, j, d)
+        # the strictly-inside (0,1) regime is exercised deterministically by
+        # test_pair_direct_partial_approach
+
+    def test_pair_direct_partial_approach(self):
+        """Robots 4 apart closing 5 total: certified step strictly inside
+        (0, 1), and safe at that step."""
+        from trajopt_tpu.ops import geometry as geo
+
+        rng = np.random.default_rng(10)
+        n = 6
+        offset = 0.1
+        base = rng.normal(size=(n, 3)) * 0.05
+        hulls = np.stack([base, base + [4.0, 0, 0]])[:, None, None]
+        dhulls = np.stack([
+            np.tile([2.5, 0.0, 0.0], (n, 1)), np.tile([-2.5, 0.0, 0.0], (n, 1))
+        ])[:, None, None]
+        gids2 = jnp.arange(2, dtype=jnp.int32)
+        s = float(jnp.min(ccd_ops.pair_max_step_direct(
+            jnp.asarray(hulls), jnp.asarray(dhulls),
+            jnp.asarray(hulls), jnp.asarray(dhulls), gids2,
+            offset, 64, False, k_partners=2, n_slots=2,
+        )))
+        assert 0.0 < s < 1.0, s
+        a = np.concatenate([hulls[0, 0, 0], hulls[0, 0, 0] + s * 0.999 * dhulls[0, 0, 0]])
+        b = np.concatenate([hulls[1, 0, 0], hulls[1, 0, 0] + s * 0.999 * dhulls[1, 0, 0]])
+        diff = (a[:, None, :] - b[None, :, :]).reshape(-1, 3)
+        d = float(geo.origin_simplex_dist(jnp.asarray(diff, jnp.float64), 64).dist)
+        assert d > offset - 1e-9, (s, d)

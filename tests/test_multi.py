@@ -46,19 +46,31 @@ def make_problem(uav_num=2, n_pieces=3, with_obstacles=False):
     return cfg, ops, consts, scene, state
 
 
+@jax.jit
+def _pairwise_min_clearance_jit(hulls):
+    """[U,S,n,3] -> min over robot pairs and segments of hull-hull distance.
+
+    One jitted batched call (the old per-pair Python loop of unjitted vmapped
+    scans dispatched 100+ separate XLA compiles and tripped a jaxlib
+    cache-deserialization segfault at 16 robots)."""
+    u = hulls.shape[0]
+    iu, ju = jnp.triu_indices(u, 1)
+    a = hulls[iu]                                     # [Np,S,n,3]
+    b = hulls[ju]
+
+    def seg_dist(x, y):
+        return geo.hull_hull_distance(x, y, 48).dist
+
+    d = jax.vmap(jax.vmap(seg_dist))(a, b)            # [Np,S]
+    return jnp.min(d)
+
+
 def pairwise_min_clearance(consts, state):
     """Min hull-hull distance between robots at equal segment index."""
     hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(state.spline)  # [U,P,R,n,3]
     u = hulls.shape[0]
     flat = hulls.reshape(u, -1, hulls.shape[-2], 3)
-    dmin = np.inf
-    for i in range(u):
-        for j in range(i + 1, u):
-            d = jax.vmap(
-                lambda a, b: geo.hull_hull_distance(a, b, 48).dist
-            )(flat[i], flat[j])
-            dmin = min(dmin, float(jnp.min(d)))
-    return dmin
+    return float(_pairwise_min_clearance_jit(flat))
 
 
 @pytest.mark.parametrize("coupled", [False, True])

@@ -114,13 +114,93 @@ def test_plane_cache_warm_start_not_worse():
             en.plane_barrier_energy(consts, cfg, state.spline, planes).value
         )
 
-    fresh = admm.separate_planes(consts, cfg, state.spline, scene)
+    fresh, _ = admm.separate_planes(consts, cfg, state.spline, scene)
     cache = empty_plane_cache(consts.piece_num, consts.res, cfg.max_planes)
     for _ in range(3):
-        cached_planes, cache = admm.separate_planes(
+        cached_planes, _, cache = admm.separate_planes(
             consts, cfg, state.spline, scene, cache
         )
     if int(np.asarray(fresh.mask).sum()) == 0:
         return  # scene variant without active planes: nothing to compare
     assert (np.asarray(cached_planes.mask) == np.asarray(fresh.mask)).all()
     assert barrier(cached_planes) <= barrier(fresh) + 1e-9
+
+
+def _pair_barrier(consts, cfg, state, planes) -> float:
+    """Summed live-plane barrier over the robot axis (own-side energies)."""
+    from trajopt_tpu.ops import energies as en
+
+    vals = []
+    for i in range(state.spline.shape[0]):
+        pl = tt.Planes(
+            c=planes.c[i], d=planes.d[i], mask=planes.mask[i]
+        )
+        vals.append(
+            float(en.plane_barrier_energy(consts, cfg, state.spline[i], pl).value)
+        )
+    return float(np.sum(vals))
+
+
+def test_multi_pair_plane_cache_not_worse():
+    """Multi-robot persistent pair-plane cache (Optimization3D_multi.h:278-327
+    semantics): on a fixed fleet state, iterated cached refinement reaches a
+    pair-barrier energy <= the fresh single-shot refinement."""
+    from trajopt_tpu.solver import multi as multi_mod
+
+    cfg = TrajOptConfig(
+        res=2, max_planes=4, max_self_planes=2, max_ccd_candidates=4,
+        ks=1e-3, optimal_plane=True,
+    )
+    # two antiparallel robots 0.26 apart: inside the pair-plane band
+    wps = []
+    for i in range(2):
+        sgn = 1 if i % 2 == 0 else -1
+        s = np.array([sgn * 3.0, 0.0, 0.26 * i])
+        e = np.array([-sgn * 3.0, 0.0, 0.26 * i])
+        t = np.linspace(0, 1, 4)[:, None]
+        wps.append(s * (1 - t) + e * t)
+    ops = sp.build_spline_ops(3, cfg.res)
+    consts = tt.device_consts(ops)
+    state = multi_mod.init_multi_state(ops, wps, cfg.init_piece_time)
+
+    fresh, _ = multi_mod.self_planes(consts, cfg, state.spline, None)
+    if int(np.asarray(fresh.mask).sum()) == 0:
+        return
+    _, pair_cache = multi_mod.init_multi_caches(cfg, consts, 2)
+    for _ in range(3):
+        cached, _, pair_cache = multi_mod.self_planes(
+            consts, cfg, state.spline, None, cache=pair_cache
+        )
+    assert (np.asarray(cached.mask) == np.asarray(fresh.mask)).all()
+    # cache keys persisted for every live slot
+    assert (
+        (np.asarray(pair_cache.partner) >= 0) == np.asarray(cached.mask)
+    ).all()
+    e_cached = _pair_barrier(consts, cfg, state, cached)
+    e_fresh = _pair_barrier(consts, cfg, state, fresh)
+    assert e_cached <= e_fresh + 1e-6, (e_cached, e_fresh)
+
+
+def test_multi_solver_runs_with_optimal_plane():
+    """solve_multi threads the persistent caches (optimal_plane=1) end-to-end."""
+    from trajopt_tpu.solver import multi as multi_mod
+
+    cfg = TrajOptConfig(
+        res=2, max_planes=4, max_self_planes=2, max_ccd_candidates=4,
+        ks=1e-3, optimal_plane=True,
+    )
+    wps = []
+    for i in range(2):
+        sgn = 1 if i % 2 == 0 else -1
+        s = np.array([sgn * 3.0, 0.0, 0.26 * i])
+        e = np.array([-sgn * 3.0, 0.0, 0.26 * i])
+        t = np.linspace(0, 1, 4)[:, None]
+        wps.append(s * (1 - t) + e * t)
+    ops = sp.build_spline_ops(3, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(np.full((8, 3), 100.0))
+    state = multi_mod.init_multi_state(ops, wps, cfg.init_piece_time)
+    state, hist = driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=60
+    )
+    assert hist[-1]["gnorm"] < cfg.stop

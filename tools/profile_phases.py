@@ -71,19 +71,17 @@ def main() -> None:
     @jax.jit
     def phase_obstacle_planes(st):
         with mp():
-            return jax.vmap(
-                lambda s: admm.separate_planes(consts, cfg, s, scene)
-            )(st.spline)
+            return admm.separate_planes_batch(consts, cfg, st.spline, scene)[0]
 
     @jax.jit
     def phase_self_planes(st):
         with mp():
-            return multi_mod.self_planes(consts, cfg, st.spline, None)
+            return multi_mod.self_planes(consts, cfg, st.spline, None)[0]
 
     @jax.jit
     def phase_all_planes(st):
         with mp():
-            return multi_mod._all_planes(consts, cfg, st, scene, None)
+            return multi_mod._all_planes(consts, cfg, st, scene, None)[0]
 
     planes = phase_all_planes(state)
 

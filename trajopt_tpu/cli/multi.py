@@ -91,10 +91,20 @@ def main(argv=None) -> int:
             starts_goals = gen.cross_waypoints(args.uav_num, 1)
             paths = []
             for i in range(args.uav_num):
-                paths.append(
-                    rrt.plan(cloud, cfg, starts_goals[i, 0], starts_goals[i, -1],
+                p = rrt.plan(cloud, cfg, starts_goals[i, 0], starts_goals[i, -1],
                              prev_paths=paths, seed=i)
-                )
+                if p is None:
+                    # planner failure (rrt.plan returns None when no path is
+                    # found within budget): fail with a clear message instead
+                    # of crashing on len(None) downstream
+                    print(
+                        f"error: RRT found no collision-free path for UAV {i} "
+                        f"({starts_goals[i, 0]} -> {starts_goals[i, -1]}); "
+                        "provide an init file (--init-file) or adjust the scene",
+                        file=sys.stderr,
+                    )
+                    return 1
+                paths.append(p)
             n_max = max(len(p) for p in paths)
             wps = np.stack([
                 np.asarray(rrt_pad(p, n_max)) for p in paths

@@ -48,7 +48,22 @@ class TrajOptConfig:
     max_planes: int = 32       # K: separating-plane slots per subdivided segment
     max_self_planes: int = 8   # per-robot-pair plane slots per segment
     max_ccd_candidates: int = 32  # obstacle candidates per segment for the CCD clamp
+    # GJK slots per separate-phase dispatch: the plane generators compact the
+    # in-radius (segment, obstacle) / (segment, robot-pair) candidates to this
+    # many nearest pairs before the batched GJK + plane fit (fleet-wide in
+    # multi mode).  Overflow (more live candidates than slots) is surfaced in
+    # StepDiag.plane_overflow and as a driver warning — raise the budget for
+    # dense scenes.
+    plane_gjk_budget: int = 1024
+    self_plane_gjk_budget: int = 1024
     max_line_search: int = 64  # cap on 0.8^k shrinks (0.8^64 ~ 6e-7)
+    # GJK-refinement slots per segment in the analytic max-step CCD
+    # (ops/ccd.py::*_max_step_direct level 3): the S smallest analytic
+    # limits per segment get an exact GJK + Lipschitz lift, the (S+1)-th
+    # analytic value caps the result.  Larger = more escape capacity in
+    # congestion, smaller = less GJK work per step.
+    ccd_gjk_slots: int = 8
+    ccd_pair_gjk_slots: int = 4
     gjk_iters: int = 24        # Frank-Wolfe iterations in the device GJK kernel
     use_pallas_gjk: bool | None = None  # None = auto (TPU + float32)
     max_iters: int = 1_000_000

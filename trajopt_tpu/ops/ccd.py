@@ -349,12 +349,14 @@ def pair_bad(tabs: PairCCD, my_steps, all_steps, offset, gjk_iters, pallas) -> j
 # with a single closed-form pass:
 #
 #   For s >= 0 the swept upper bound along axis a is exact:
-#       hi_a(s) = max_n (hp_n + s * relu(dp_n)),
-#   so "point above hull certified" <=> forall n:
-#       s * relu(dp_n) < ptp - offset - hp_n,
-#   whose largest s is a min of per-vertex ratios — evaluated for every
-#   (segment, candidate, axis) in one fused reduce.  A pair is certified at s
-#   if ANY axis certifies, the robot/fleet limit is the min over pairs.
+#       hi_a(s) = max_n (hp_n + s * relu(dp_n)).
+#   The implementation bounds it by the sum of maxes,
+#       hi_a(s) <= max_n(hp_n) + s * max_n(relu(dp_n)),
+#   a CONSERVATIVE (one-sided interval-speed) bound — strictly looser than
+#   the per-vertex minimum ratio when the max projection and max speed come
+#   from different vertices, but evaluated for every (segment, candidate,
+#   axis) with no per-vertex blowup.  A pair is certified at s if ANY axis
+#   certifies; the robot/fleet limit is the min over pairs.
 #
 #   Pairs the k-DOP cannot certify even at s=0 (near contact / k-DOP false
 #   positives) get ONE exact static GJK distance plus the Lipschitz bound
@@ -411,9 +413,22 @@ def obstacle_max_step(tabs: ObstacleCCD, offset, gjk_iters, pallas) -> jnp.ndarr
         s_cand = jnp.max(s_ax, axis=-1)                  # [B,P,R,M]
         s_cand = jnp.where(cand_pm, jnp.maximum(s_cand, 0.0), jnp.inf)
 
-        # one-shot GJK refinement of the S smallest limits per segment
-        s_slots = min(tabs.n_slots, s_cand.shape[-1])
-        s_sel, idx = ptk.smallest_k(s_cand, s_slots)     # [B,P,R,S]
+        # one-shot GJK refinement of the S smallest limits per segment.
+        # Soundness: select S+1 smallest; GJK-refines slots 0..S-1, while the
+        # (S+1)-th UN-refined analytic value caps the segment result — every
+        # unselected candidate's only certificate is its analytic limit,
+        # which is >= that cap, so refinement can never lift the segment
+        # limit past a candidate that got no GJK test.
+        m_cand = s_cand.shape[-1]
+        s_slots = min(tabs.n_slots, m_cand)
+        k_sel = min(s_slots + 1, m_cand)
+        s_all, idx_all = ptk.smallest_k(s_cand, k_sel)   # [B,P,R,S(+1)]
+        s_sel, idx = s_all[..., :s_slots], idx_all[..., :s_slots]
+        cap = (
+            s_all[..., -1]
+            if k_sel > s_slots
+            else jnp.full(s_all.shape[:-1], jnp.inf, s_all.dtype)
+        )
 
         def refine(_):
             sel_pts = pts_of(idx)                        # [B,P,R,S,3]
@@ -430,7 +445,7 @@ def obstacle_max_step(tabs: ObstacleCCD, offset, gjk_iters, pallas) -> jnp.ndarr
         s_ref = jax.lax.cond(
             need, refine, lambda _: s_sel, operand=None
         )
-        s_seg = jnp.min(s_ref, axis=-1)                  # [B,P,R]
+        s_seg = jnp.minimum(jnp.min(s_ref, axis=-1), cap)  # [B,P,R]
         return jnp.min(s_seg, axis=(-1, -2))             # [B]
 
     def subset(_):
@@ -445,9 +460,241 @@ def obstacle_max_step(tabs: ObstacleCCD, offset, gjk_iters, pallas) -> jnp.ndarr
             lambda idx: tabs.pts[idx],
         )
 
+    # upper clip at 1 + eps, NOT 1.0: rung_floor admits a rung only when
+    # strictly below the limit, so an unconstrained step (limit >= 1) must
+    # stay distinguishable from a limit of exactly 1.0 (borderline -> shrink).
     return jnp.clip(
-        jax.lax.cond(tabs.overflow, full, subset, operand=None), 0.0, 1.0
+        jax.lax.cond(tabs.overflow, full, subset, operand=None), 0.0, 1.0 + 1e-6
     )
+
+
+def obstacle_max_step_direct(
+    hull, dhull, points, pmask, offset, gjk_iters, pallas,
+    s1_slots: int = 32, n_slots: int = 32,
+) -> jnp.ndarray:
+    """[B] largest provably safe step per robot vs the cloud — bounded-cost
+    variant of `obstacle_max_step` with NO full-cloud fallback branch.
+
+    Three PER-SEGMENT certification levels, each sound via the
+    select-(K+1)-cap scheme: every candidate not refined at a finer level
+    keeps its coarser certificate, and the (K+1)-th un-refined value of the
+    coarser level caps the result.
+
+    1. AABB level: 3-axis analytic sweep limits for EVERY (segment, point),
+       as three fused per-axis [S, N] expressions; the S1 smallest per
+       segment go to level 2, the (S1+1)-th caps.
+    2. k-DOP level: full 49-axis analytic sweep limits on the S1
+       candidates ([B,P,R,S1,D] — small); the S2 smallest go to level 3,
+       the (S2+1)-th caps.
+    3. GJK: exact static distance + a Lipschitz displacement rate on the
+       S2 slots.
+
+    The level-1 metric is a tight per-segment bound, so its ranking and cap
+    stay non-degenerate in congested scenes — a robot- or piece-UNION
+    interval covers whole trajectory spans (which in crossing scenes overlap
+    half the cloud), and a centroid-ball bound zeroes every point within
+    r_seg+offset of the centroid; either caps the step at 0 permanently,
+    the absorbing-state failure this layout avoids.  As the Newton
+    direction shrinks near convergence the limits grow like gap/|d|, so
+    the full step re-certifies.
+
+    Every level is per segment, so the caps stay non-degenerate in congested
+    scenes (a ROBOT-level union interval covers the robot's whole
+    trajectory, which in crossing scenes overlaps half the cloud and caps
+    the step at 0 — the absorbing-state failure this layout avoids).
+    Replaces the `lax.cond` overflow fallback of the table-based path, whose
+    full-cloud branch materialized [B,P,R,N,D] (~GBs at the bench shapes)
+    exactly during the large early sweeps that triggered it.
+    """
+    b, p, r, n, _ = hull.shape
+    n_pts = points.shape[0]
+    dtype = hull.dtype
+    n_seg = b * p * r
+
+    # --- level 1: 3-axis (AABB) analytic limits over the whole cloud -----
+    # Written as three per-axis [S,N] expressions (not one [S,N,3] tensor)
+    # so XLA fuses the whole chain into the top_k input with no [S,N,3]
+    # materialization.  A per-SEGMENT box is tight, so very few points per
+    # segment have limit ~0 and the (S1+1)-th cap stays non-degenerate —
+    # unlike a centroid-ball bound, whose r_seg slack zeroes the limit for
+    # every point within r_seg+offset of the centroid and capped dense
+    # scenes to a permanent step=0.
+    lo3 = hull.min(axis=-2).reshape(n_seg, 3)
+    hi3 = hull.max(axis=-2).reshape(n_seg, 3)
+    sp_hi = jnp.maximum(dhull, 0.0).max(axis=-2).reshape(n_seg, 3)
+    sp_lo = jnp.maximum(-dhull, 0.0).max(axis=-2).reshape(n_seg, 3)
+    s0 = None
+    for a in range(3):
+        pa = points[:, a][None, :]                       # [1,N]
+        g_hi = pa - hi3[:, a][:, None] - offset          # [S,N]
+        g_lo = lo3[:, a][:, None] - pa - offset
+        s_a = jnp.maximum(
+            _side_limit(g_hi, sp_hi[:, a][:, None]),
+            _side_limit(g_lo, sp_lo[:, a][:, None]),
+        )
+        s0 = s_a if s0 is None else jnp.maximum(s0, s_a)
+    s0 = jnp.where(pmask[None, :], jnp.maximum(s0, 0.0), jnp.inf)
+
+    s1 = min(s1_slots, n_pts)
+    k1 = min(s1 + 1, n_pts)
+    neg, idx1_all = jax.lax.top_k(-s0, k1)               # [S,S1(+1)]
+    s3_sel = (-neg[:, :s1]).reshape(b, p, r, s1)
+    idx1 = idx1_all[:, :s1].reshape(b, p, r, s1)         # cloud ids
+    cap1 = (
+        (-neg[:, -1]).reshape(b, p, r) if k1 > s1
+        else jnp.full((b, p, r), jnp.inf, dtype)
+    )
+
+    # --- level 2: full k-DOP limits on the S1 candidates -----------------
+    ax = _axes(dtype)
+    hp = hull @ ax.T                                     # [B,P,R,n,D]
+    dp = dhull @ ax.T
+    lo0, hi0 = _interval(hp)                             # [B,P,R,D]
+    spd_hi, spd_lo = _hull_speed(dp)
+    sel_proj = (points @ ax.T)[idx1]                     # [B,P,R,S1,D]
+    g_hi = sel_proj - hi0[..., None, :] - offset
+    g_lo = lo0[..., None, :] - sel_proj - offset
+    s_kd = jnp.max(
+        jnp.maximum(
+            _side_limit(g_hi, spd_hi[..., None, :]),
+            _side_limit(g_lo, spd_lo[..., None, :]),
+        ),
+        axis=-1,
+    )                                                    # [B,P,R,S1]
+    # both certificates are sound; keep the tighter (k-DOP >= AABB up to
+    # the shared conservative speed bound, but max is safe regardless)
+    s_kd = jnp.maximum(jnp.maximum(s_kd, 0.0), s3_sel)
+    s_kd = jnp.where(jnp.isfinite(s3_sel), s_kd, jnp.inf)
+
+    s2 = min(n_slots, s1)
+    k2 = min(s2 + 1, s1)
+    s_all, loc_all = ptk.smallest_k(s_kd, k2)            # [B,P,R,S2(+1)]
+    s_sel, loc = s_all[..., :s2], loc_all[..., :s2]
+    cap2 = (
+        s_all[..., -1] if k2 > s2
+        else jnp.full(s_all.shape[:-1], jnp.inf, dtype)
+    )
+    idx2 = jnp.take_along_axis(idx1, loc, axis=-1)       # [B,P,R,S2] cloud ids
+
+    # --- level 3: GJK + Lipschitz refinement of the S2 slots -------------
+    def refine(_):
+        sel_pts = points[idx2]                           # [B,P,R,S2,3]
+        diff = (hull[:, :, :, None] - sel_pts[..., None, :]).reshape(-1, n, 3)
+        dist0 = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
+        dist0 = dist0.reshape(idx2.shape)
+        disp = _disp_norm(dhull)                         # [B,P,R]
+        s_ref = (dist0 - offset) / jnp.maximum(disp[..., None], 1e-12)
+        return jnp.maximum(s_sel, jnp.maximum(s_ref, 0.0))
+
+    s_ref = jax.lax.cond(
+        jnp.any(s_sel < 1.0), refine, lambda _: s_sel, operand=None
+    )
+    s_seg = jnp.minimum(jnp.min(s_ref, axis=-1), jnp.minimum(cap1, cap2))
+    s_b = jnp.min(s_seg, axis=(-1, -2))                  # [B]
+    return jnp.clip(s_b, 0.0, 1.0 + 1e-6)  # 1+eps: see rung_floor strictness
+
+
+def pair_max_step_direct(
+    my_hulls, my_dhulls, all_hulls, all_dhulls, gids,
+    offset, gjk_iters, pallas,
+    k_partners: int = 8, n_slots: int = 8,
+) -> jnp.ndarray:
+    """[U] largest provably safe COMMON step per robot vs every other robot
+    (`Step::couple_self_step` semantics) — bounded-cost variant of
+    `pair_max_step` with the same PER-SEGMENT three-level scheme as
+    `obstacle_max_step_direct`:
+
+    1. AABB level: 3-axis analytic pair limits for every (segment, partner)
+       in one fused [U,Ut,P,R,3] pass; K1 smallest partners per segment to
+       level 2, (K1+1)-th caps.
+    2. k-DOP level: 49-axis limits on the selected partners
+       ([U,P,R,K1,D]); S2 smallest to level 3, (S2+1)-th caps.
+    3. GJK + Lipschitz on the S2 slots.
+    """
+    u, p, r, n, _ = my_hulls.shape
+    ut = all_hulls.shape[0]
+    dtype = my_hulls.dtype
+    not_self = gids[:, None] != jnp.arange(ut, dtype=gids.dtype)[None, :]
+
+    # --- level 1: 3-axis pair limits for every (segment, partner) --------
+    lo3_a = my_hulls.min(axis=-2); hi3_a = my_hulls.max(axis=-2)   # [U,P,R,3]
+    lo3_b = all_hulls.min(axis=-2); hi3_b = all_hulls.max(axis=-2) # [Ut,P,R,3]
+    sp3_hi_a = jnp.maximum(my_dhulls, 0.0).max(axis=-2)
+    sp3_lo_a = jnp.maximum(-my_dhulls, 0.0).max(axis=-2)
+    sp3_hi_b = jnp.maximum(all_dhulls, 0.0).max(axis=-2)
+    sp3_lo_b = jnp.maximum(-all_dhulls, 0.0).max(axis=-2)
+    g1 = lo3_a[:, None] - hi3_b[None] - offset           # [U,Ut,P,R,3]
+    s1_ = _side_limit(g1, sp3_lo_a[:, None] + sp3_hi_b[None])
+    g2 = lo3_b[None] - hi3_a[:, None] - offset
+    s2_ = _side_limit(g2, sp3_hi_a[:, None] + sp3_lo_b[None])
+    s3 = jnp.max(jnp.maximum(s1_, s2_), axis=-1)         # [U,Ut,P,R]
+    s3 = jnp.moveaxis(s3, 1, -1)                         # [U,P,R,Ut]
+    s3 = jnp.where(
+        not_self[:, None, None, :], jnp.maximum(s3, 0.0), jnp.inf
+    )
+
+    kp = min(k_partners, max(ut - 1, 1))
+    k1 = min(kp + 1, ut)
+    s3_all, part_all = ptk.smallest_k(s3, k1)            # [U,P,R,K1(+1)]
+    s3_sel = s3_all[..., :kp]
+    part = part_all[..., :kp]                            # [U,P,R,K1] fleet ids
+    cap1 = (
+        s3_all[..., -1] if k1 > kp
+        else jnp.full(s3_all.shape[:-1], jnp.inf, dtype)
+    )
+
+    # --- level 2: full k-DOP limits on the selected partners -------------
+    ax = _axes(dtype)
+    my_hp, my_dp = my_hulls @ ax.T, my_dhulls @ ax.T
+    all_hp, all_dp = all_hulls @ ax.T, all_dhulls @ ax.T
+    lo_a0, hi_a0 = _interval(my_hp)                      # [U,P,R,D]
+    spd_hi_a, spd_lo_a = _hull_speed(my_dp)
+    lo_b0, hi_b0 = _interval(all_hp)                     # [Ut,P,R,D]
+    spd_hi_b, spd_lo_b = _hull_speed(all_dp)
+    p_idx = jnp.arange(p)[None, :, None, None]
+    r_idx = jnp.arange(r)[None, None, :, None]
+    sel_lo_b = lo_b0[part, p_idx, r_idx]                 # [U,P,R,K1,D]
+    sel_hi_b = hi_b0[part, p_idx, r_idx]
+    sel_s_hi_b = spd_hi_b[part, p_idx, r_idx]
+    sel_s_lo_b = spd_lo_b[part, p_idx, r_idx]
+    g1 = lo_a0[..., None, :] - sel_hi_b - offset         # [U,P,R,K1,D]
+    s1k = _side_limit(g1, spd_lo_a[..., None, :] + sel_s_hi_b)
+    g2 = sel_lo_b - hi_a0[..., None, :] - offset
+    s2k = _side_limit(g2, spd_hi_a[..., None, :] + sel_s_lo_b)
+    s_kd = jnp.max(jnp.maximum(s1k, s2k), axis=-1)       # [U,P,R,K1]
+    s_kd = jnp.maximum(jnp.maximum(s_kd, 0.0), s3_sel)
+    s_kd = jnp.where(jnp.isfinite(s3_sel), s_kd, jnp.inf)
+
+    s2n = min(n_slots, kp)
+    k2 = min(s2n + 1, kp)
+    s_all, loc_all = ptk.smallest_k(s_kd, k2)            # [U,P,R,S2(+1)]
+    s_sel, loc = s_all[..., :s2n], loc_all[..., :s2n]
+    cap2 = (
+        s_all[..., -1] if k2 > s2n
+        else jnp.full(s_all.shape[:-1], jnp.inf, dtype)
+    )
+    sel_gid = jnp.take_along_axis(part, loc, axis=-1)    # [U,P,R,S2]
+
+    # --- level 3: GJK + Lipschitz on the S2 slots ------------------------
+    def refine(_):
+        sel_hulls = all_hulls[sel_gid, p_idx, r_idx]     # [U,P,R,S2,n,3]
+        sel_dhulls = all_dhulls[sel_gid, p_idx, r_idx]
+        diff = (
+            my_hulls[:, :, :, None, :, None, :]
+            - sel_hulls[:, :, :, :, None, :, :]
+        ).reshape(-1, n * n, 3)
+        dist0 = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
+        dist0 = dist0.reshape(sel_gid.shape)
+        disp = _disp_norm(my_dhulls)[..., None] + _disp_norm(sel_dhulls)
+        s_ref = (dist0 - offset) / jnp.maximum(disp, 1e-12)
+        return jnp.maximum(s_sel, jnp.maximum(s_ref, 0.0))
+
+    s_ref = jax.lax.cond(
+        jnp.any(s_sel < 1.0), refine, lambda _: s_sel, operand=None
+    )
+    s_seg = jnp.minimum(jnp.min(s_ref, axis=-1), jnp.minimum(cap1, cap2))
+    s_u = jnp.min(s_seg, axis=(-1, -2))                  # [U]
+    return jnp.clip(s_u, 0.0, 1.0 + 1e-6)  # 1+eps: see rung_floor strictness
 
 
 def pair_max_step(tabs: PairCCD, offset, gjk_iters, pallas) -> jnp.ndarray:
@@ -473,8 +720,18 @@ def pair_max_step(tabs: PairCCD, offset, gjk_iters, pallas) -> jnp.ndarray:
         tabs.not_self[:, None, None, :], jnp.maximum(s_pair, 0.0), jnp.inf
     )
 
+    # S+1 selection, same soundness scheme as `obstacle_max_step`: the
+    # (S+1)-th un-refined analytic limit caps the result so GJK refinement
+    # never lifts the limit past an untested partner.
     s_slots = min(tabs.n_slots, ut)
-    s_sel, idx = ptk.smallest_k(s_pair, s_slots)         # [U,P,R,S]
+    k_sel = min(s_slots + 1, ut)
+    s_all, idx_all = ptk.smallest_k(s_pair, k_sel)       # [U,P,R,S(+1)]
+    s_sel, idx = s_all[..., :s_slots], idx_all[..., :s_slots]
+    cap = (
+        s_all[..., -1]
+        if k_sel > s_slots
+        else jnp.full(s_all.shape[:-1], jnp.inf, s_all.dtype)
+    )
 
     def refine(_):
         p_idx = jnp.arange(p)[None, :, None, None]
@@ -497,4 +754,5 @@ def pair_max_step(tabs: PairCCD, offset, gjk_iters, pallas) -> jnp.ndarray:
     s_ref = jax.lax.cond(
         jnp.any(s_sel < 1.0), refine, lambda _: s_sel, operand=None
     )
-    return jnp.clip(jnp.min(s_ref, axis=(-1, -2, -3)), 0.0, 1.0)
+    s_seg = jnp.minimum(jnp.min(s_ref, axis=-1), cap)    # [U,P,R]
+    return jnp.clip(jnp.min(s_seg, axis=(-1, -2)), 0.0, 1.0 + 1e-6)

@@ -9,7 +9,14 @@ import os
 import jax
 
 
-def enable(path: str | None = None) -> str:
+def enable(path: str | None = None) -> str | None:
+    """Enable the on-disk compile cache (TPU/GPU backends only).
+
+    XLA:CPU AOT executables are serialized against the compile machine's CPU
+    feature set and can SIGILL/segfault when a host's feature validation
+    disagrees on reload — so the cache stays off for the CPU backend."""
+    if jax.default_backend() == "cpu":
+        return None
     path = path or os.environ.get(
         "TRAJOPT_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
     )

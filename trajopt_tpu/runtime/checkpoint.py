@@ -17,15 +17,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import SolverState
+from ..types import PlaneCache, SolverState
 
 _META = "_trajopt_meta"
+_CACHE_PREFIX = "plane_cache_"
 
 
-def save(path: str, state: SolverState, *, step: int = 0, extra: dict | None = None) -> None:
-    """Atomic .npz checkpoint of a (possibly robot-batched) SolverState."""
+def save(
+    path: str,
+    state: SolverState,
+    *,
+    step: int = 0,
+    extra: dict | None = None,
+    cache: PlaneCache | None = None,
+) -> None:
+    """Atomic .npz checkpoint of a (possibly robot-batched) SolverState.
+
+    ``cache``: the persistent optimal_plane=1 separating-plane cache — saved
+    alongside the state so a resume keeps the accumulated refinement
+    (the reference's `is_seperate/seperate_c/seperate_d` live across the
+    whole run, CCDUtils.h:64-70)."""
     arrays = {f: np.asarray(x) for f, x in zip(state._fields, state)}
-    meta = {"step": step, "fields": list(state._fields), "extra": extra or {}}
+    if cache is not None:
+        for f, x in zip(cache._fields, cache):
+            arrays[_CACHE_PREFIX + f] = np.asarray(x)
+    meta = {
+        "step": step,
+        "fields": list(state._fields),
+        "extra": extra or {},
+        "has_plane_cache": cache is not None,
+    }
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
@@ -50,6 +71,22 @@ def load(path: str, dtype=None) -> tuple[SolverState, dict]:
     return state, meta
 
 
+def load_full(
+    path: str, dtype=None
+) -> tuple[SolverState, dict, PlaneCache | None]:
+    """Restore (state, meta, plane_cache) — cache is None when the
+    checkpoint was written without one."""
+    state, meta = load(path, dtype=dtype)
+    cache = None
+    if meta.get("has_plane_cache"):
+        with np.load(path) as z:
+            cache = PlaneCache(
+                obs_id=jnp.asarray(z[_CACHE_PREFIX + "obs_id"]),
+                c=jnp.asarray(z[_CACHE_PREFIX + "c"], dtype=dtype),
+            )
+    return state, meta, cache
+
+
 class CheckpointManager:
     """Keep the latest K checkpoints, save every N iterations."""
 
@@ -59,11 +96,17 @@ class CheckpointManager:
         self.keep = keep
         os.makedirs(directory, exist_ok=True)
 
-    def maybe_save(self, it: int, state: SolverState, extra: dict | None = None) -> bool:
+    def maybe_save(
+        self,
+        it: int,
+        state: SolverState,
+        extra: dict | None = None,
+        cache: PlaneCache | None = None,
+    ) -> bool:
         if it % self.every != 0:
             return False
         save(os.path.join(self.directory, f"ckpt_{it:08d}.npz"), state,
-             step=it, extra=extra)
+             step=it, extra=extra, cache=cache)
         self._gc()
         return True
 
@@ -85,3 +128,9 @@ class CheckpointManager:
     def restore_latest(self, dtype=None) -> tuple[SolverState, dict] | None:
         p = self.latest()
         return load(p, dtype=dtype) if p else None
+
+    def restore_latest_full(
+        self, dtype=None
+    ) -> tuple[SolverState, dict, PlaneCache | None] | None:
+        p = self.latest()
+        return load_full(p, dtype=dtype) if p else None

@@ -36,6 +36,92 @@ _SHRINK = 0.8      # Optimization3D_admm.h:542 / Step.h:97
 # ---------------------------------------------------------------------------
 
 
+def _fit_obstacle_planes(cfg: TrajOptConfig, hull_f, pts_f, dtype):
+    """Batched point-vs-hull GJK -> offset separating planes.
+
+    ``hull_f`` [B,n,3], ``pts_f`` [B,3] -> (c [B,3], d [B], valid [B]),
+    the plane-extraction math of Separate::opengjk (Separate.h:107-151)."""
+    radius = cfg.offset + cfg.margin
+    diff = hull_f - pts_f[:, None, :]                       # [B,n,3]
+    hd = geo.batched_origin_dist(
+        diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, dtype)
+    )
+    vn = jnp.maximum(hd.dist, 1e-12)
+    c = (hd.v / vn[:, None]).astype(dtype)
+    d = -jnp.einsum("nd,nd->n", c, pts_f.astype(dtype)) - cfg.offset
+    # Near-contact feasibility clamp: the reference's exact GJK guarantees a
+    # generated plane is strictly feasible at the incumbent (hull distance
+    # along c == true distance > offset, Separate.h:107-151); under f32 the
+    # witness direction can lose the last digits of that guarantee exactly
+    # when hulls are a hair above offset.  Raising d (which only WEAKENS the
+    # obstacle-side offset, never the hull-side constraint) keeps the plane
+    # active so the barrier pushes the hull away — the reference's escape
+    # semantics — instead of marking the incumbent infeasible and freezing
+    # the line search.
+    s_min = jnp.min(
+        jnp.einsum("nmd,nd->nm", hull_f.astype(dtype), c), axis=1
+    )
+    d = jnp.maximum(d, 1e-3 * cfg.margin - s_min)
+    valid = hd.dist <= radius
+    return c, d, valid
+
+
+def separate_planes_batch(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    splines: jnp.ndarray,      # [U,T,3]
+    scene: Scene,
+) -> tuple[Planes, jnp.ndarray]:
+    """Fleet-batched obstacle-plane tables: one GJK dispatch for ALL robots.
+
+    The per-robot path pays a full ``plane_gjk_budget`` GJK batch per robot
+    under vmap; here the in-radius (segment, obstacle) candidates of the
+    WHOLE fleet compact into one budget (in steady state a handful of pairs
+    are in radius fleet-wide), cutting the separate phase's GJK work by ~U x.
+    Returns (planes [U,P,R,K,...], overflow bool) — overflow means live
+    candidates beyond the budget got no plane this iteration (telemetry per
+    SURVEY §7.3; raise ``cfg.plane_gjk_budget``)."""
+    hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)  # [U,P,R,n,3]
+    radius = cfg.offset + cfg.margin
+    cand = jax.vmap(
+        lambda h: bp.topk_candidates(
+            h, scene, radius, cfg.max_planes, coarse_k=cfg.broadphase_coarse_k
+        )
+    )(hulls)
+    u, p, r, k = cand.idx.shape
+    n = hulls.shape[-2]
+    nf = u * p * r * k
+    budget = min(cfg.plane_gjk_budget, nf)
+    flat_mask = cand.mask.reshape(-1)
+    overflow = jnp.sum(flat_mask) > budget
+    if budget < nf:
+        d2f = jnp.where(flat_mask, cand.d2.reshape(-1), jnp.inf)
+        _, sel = jax.lax.top_k(-d2f, budget)
+        sel_live = flat_mask[sel]
+        hull_f = hulls.reshape(u * p * r, n, 3)[sel // k]
+        pts_f = scene.points[cand.idx.reshape(-1)[sel]]
+    else:
+        sel = None
+        sel_live = flat_mask
+        hull_f = jnp.broadcast_to(
+            hulls[:, :, :, None], (u, p, r, k, n, 3)
+        ).reshape(-1, n, 3)
+        pts_f = scene.points[cand.idx.reshape(-1)]
+    c, d, valid = _fit_obstacle_planes(cfg, hull_f, pts_f, splines.dtype)
+    if sel is not None:
+        c_full = jnp.zeros((nf, 3), splines.dtype).at[sel].set(c)
+        d_full = jnp.zeros((nf,), splines.dtype).at[sel].set(d.astype(splines.dtype))
+        ok_full = jnp.zeros((nf,), bool).at[sel].set(sel_live & valid)
+    else:
+        c_full, d_full, ok_full = c, d.astype(splines.dtype), sel_live & valid
+    planes = Planes(
+        c=c_full.reshape(u, p, r, k, 3),
+        d=d_full.reshape(u, p, r, k),
+        mask=ok_full.reshape(u, p, r, k),
+    )
+    return planes, overflow
+
+
 def separate_planes(
     consts: SplineConsts,
     cfg: TrajOptConfig,
@@ -52,8 +138,8 @@ def separate_planes(
     candidates whose obstacle id was planed last iteration warm-start the
     barrier-optimal refinement from the CACHED normal — the reference's
     persistent-plane semantics (CCDUtils.h:64-70 consumed at
-    Optimization3D_admm.h:126-193).  Returns (planes, new_cache) when a
-    cache is passed, else just planes."""
+    Optimization3D_admm.h:126-193).  Returns (planes, overflow) without a
+    cache, else (planes, overflow, new_cache)."""
     hull = en.seg_cps(consts, spline)                       # [P,R,n,3]
     radius = cfg.offset + cfg.margin
     cand = bp.topk_candidates(hull, scene, radius, cfg.max_planes,
@@ -64,19 +150,19 @@ def separate_planes(
     n = hull.shape[-2]
     nf = p * r * k
     # Compact to the in-radius candidates (default path): the GJK + plane
-    # math runs only on the ``budget`` nearest in-radius pairs (typically a
-    # handful vs P*R*K slots), then scatters back.  Beyond-budget pairs are
-    # dropped like beyond-K candidates.  The cached/refined optimal_plane
-    # path keeps the full table (cache slots align with cand.idx).
-    compact = cache is None and not cfg.optimal_plane and nf > 256
+    # math runs only on the ``plane_gjk_budget`` nearest in-radius pairs
+    # (typically a handful vs P*R*K slots), then scatters back.  Beyond-
+    # budget pairs are dropped like beyond-K candidates — flagged via the
+    # returned overflow bool.  The cached/refined optimal_plane path keeps
+    # the full table (cache slots align with cand.idx).
+    compact = cache is None and not cfg.optimal_plane and nf > cfg.plane_gjk_budget
+    overflow = jnp.sum(cand.mask) > min(cfg.plane_gjk_budget, nf)
     if compact:
-        budget = 256
+        budget = cfg.plane_gjk_budget
         d2f = jnp.where(cand.mask.reshape(-1), cand.d2.reshape(-1), jnp.inf)
         _, sel = jax.lax.top_k(-d2f, budget)
         sel_live = cand.mask.reshape(-1)[sel]
-        hull_f = jnp.broadcast_to(
-            hull[:, :, None], (p, r, k, n, 3)
-        ).reshape(-1, n, 3)[sel]
+        hull_f = hull.reshape(p * r, n, 3)[sel // k]
         pts_f = pts.reshape(-1, 3)[sel]
     else:
         budget = nf
@@ -84,27 +170,7 @@ def separate_planes(
         sel_live = cand.mask.reshape(-1)
         hull_f = jnp.broadcast_to(hull[:, :, None], (p, r, k, n, 3)).reshape(-1, n, 3)
         pts_f = pts.reshape(-1, 3)
-    diff = hull_f - pts_f[:, None, :]                       # [B,n,3]
-    hd = geo.batched_origin_dist(
-        diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, spline.dtype)
-    )
-    vn = jnp.maximum(hd.dist, 1e-12)
-    c = (hd.v / vn[:, None]).astype(spline.dtype)
-    d = -jnp.einsum("nd,nd->n", c, pts_f.astype(spline.dtype)) - cfg.offset
-    # Near-contact feasibility clamp: the reference's exact GJK guarantees a
-    # generated plane is strictly feasible at the incumbent (hull distance
-    # along c == true distance > offset, Separate.h:107-151); under f32 the
-    # witness direction can lose the last digits of that guarantee exactly
-    # when hulls are a hair above offset.  Raising d (which only WEAKENS the
-    # obstacle-side offset, never the hull-side constraint) keeps the plane
-    # active so the barrier pushes the hull away — the reference's escape
-    # semantics — instead of marking the incumbent infeasible and freezing
-    # the line search.
-    s_min = jnp.min(
-        jnp.einsum("nmd,nd->nm", hull_f.astype(spline.dtype), c), axis=1
-    )
-    d = jnp.maximum(d, 1e-3 * cfg.margin - s_min)
-    valid = hd.dist <= radius
+    c, d, valid = _fit_obstacle_planes(cfg, hull_f, pts_f, spline.dtype)
 
     if cfg.optimal_plane:
         if cache is not None:
@@ -145,14 +211,14 @@ def separate_planes(
             mask=mask,
         )
     if cache is None:
-        return planes
+        return planes, overflow
     from ..types import PlaneCache
 
     new_cache = PlaneCache(
         obs_id=jnp.where(mask, cand.idx, -1).astype(jnp.int32),
         c=planes.c,
     )
-    return planes, new_cache
+    return planes, overflow, new_cache
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +317,10 @@ def rung_floor(cfg: TrajOptConfig, s: jnp.ndarray) -> jnp.ndarray:
     k = jnp.ceil(jnp.log(jnp.maximum(s, 1e-30)) / jnp.log(jnp.asarray(_SHRINK, dtype)))
     k = jnp.maximum(k, 0.0)
     step = jnp.asarray(_SHRINK, dtype) ** k
-    step = jnp.where(step > s, step * _SHRINK, step)   # float-roundoff guard
+    # strict inequality: the analytic limit is the supremum with clearance
+    # == offset, so a rung landing exactly ON it must also shrink (plus the
+    # float-roundoff guard this comparison already provided)
+    step = jnp.where(step >= s, step * _SHRINK, step)
     return jnp.where(
         (s <= 0) | (k >= cfg.max_line_search), jnp.zeros((), dtype), step
     )
@@ -293,17 +362,18 @@ def ccd_step(
 ) -> jnp.ndarray:
     """Largest step of the form 0.8^k whose swept control hulls provably keep
     clearance > offset from all obstacle points (Step::position_step,
-    Step.h:21-110).  Sound for EVERY obstacle: the analytic k-DOP max-step
-    (exact closed form in the sweep) + one-shot GJK refinement
-    (ops/ccd.py::obstacle_max_step), floored to the 0.8^k rung lattice —
-    one certification pass instead of the reference's shrink loop."""
+    Step.h:21-110).  Sound for EVERY obstacle: the three-level analytic
+    k-DOP max-step + one-shot GJK refinement
+    (ops/ccd.py::obstacle_max_step_direct), floored to the 0.8^k rung
+    lattice — one certification pass instead of the reference's shrink loop."""
     hull = en.seg_cps(consts, spline)[None]                 # [1,P,R,n,3]
     dhull = en.seg_cps(consts, direction)[None]
-    tabs = ccd_ops.build_obstacle_ccd(
-        hull, dhull, scene.points, scene.mask, cfg.max_ccd_candidates, cfg.offset
-    )
     pallas = geo.use_pallas_gjk(cfg, spline.dtype)
-    s = ccd_ops.obstacle_max_step(tabs, cfg.offset, cfg.gjk_iters, pallas)[0]
+    s = ccd_ops.obstacle_max_step_direct(
+        hull, dhull, scene.points, scene.mask, cfg.offset, cfg.gjk_iters,
+        pallas, s1_slots=max(8, 4 * cfg.max_ccd_candidates),
+        n_slots=cfg.ccd_gjk_slots,
+    )[0]
     return rung_floor(cfg, s)
 
 
@@ -498,9 +568,11 @@ def _admm_step_impl(consts, cfg, state, scene, cache=None):
     # Full-f32 matmul passes are REQUIRED on TPU: the KKT blocks reach
     # condition ~1e6 and bf16-pass Cholesky produces NaN pivots.
     if cache is not None:
-        planes, cache = separate_planes(consts, cfg, state.spline, scene, cache)
+        planes, overflow, cache = separate_planes(
+            consts, cfg, state.spline, scene, cache
+        )
     else:
-        planes = separate_planes(consts, cfg, state.spline, scene)
+        planes, overflow = separate_planes(consts, cfg, state.spline, scene)
     sd = spline_direction(consts, cfg, state, planes)
     step_ccd = ccd_step(consts, cfg, state.spline, sd.direction, scene)
     spline, piece_time, step = armijo_spline(consts, cfg, state, planes, sd, step_ccd)
@@ -515,6 +587,7 @@ def _admm_step_impl(consts, cfg, state, scene, cache=None):
         n_planes=planes.mask.sum(),
         energy=ev.value,
         infeasible=ev.infeasible,
+        plane_overflow=overflow,
     )
     if cache is not None:
         return state, diag, cache

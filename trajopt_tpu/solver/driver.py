@@ -84,6 +84,22 @@ def warn_on_coarse_overflow(
         )
 
 
+def _warn_plane_overflow(cfg: TrajOptConfig, diag, history: list) -> None:
+    """One warning per solve when the plane-GJK compaction dropped live
+    in-radius candidate pairs (SURVEY §7.3 fixed-K overflow telemetry)."""
+    if bool(diag.plane_overflow) and sum(
+        1 for h in history if h.get("plane_overflow")
+    ) == 1:
+        warnings.warn(
+            "separating-plane GJK budget overflow: more in-radius candidate "
+            f"pairs than plane_gjk_budget={cfg.plane_gjk_budget} / "
+            f"self_plane_gjk_budget={cfg.self_plane_gjk_budget} slots; "
+            "overflow pairs get no barrier plane this iteration (CCD still "
+            "prevents collisions) — raise the budget for dense scenes",
+            stacklevel=3,
+        )
+
+
 def solve(
     consts: SplineConsts,
     cfg: TrajOptConfig,
@@ -114,12 +130,6 @@ def solve(
     history: list[dict] = []
     it = 0
     gnorm = np.inf
-    if checkpointer is not None:
-        restored = checkpointer.restore_latest(dtype=state.spline.dtype)
-        if restored is not None:
-            state, meta = restored
-            it = meta["step"] + 1
-            gnorm = meta.get("extra", {}).get("gnorm", np.inf)
     # optimal_plane=1: thread the persistent plane cache (CCDUtils.h:64-70)
     cache = None
     if cfg.optimal_plane:
@@ -128,6 +138,16 @@ def solve(
         cache = empty_plane_cache(
             consts.piece_num, consts.res, cfg.max_planes, state.spline.dtype
         )
+    if checkpointer is not None:
+        restored = checkpointer.restore_latest_full(dtype=state.spline.dtype)
+        if restored is not None:
+            state, meta, saved_cache = restored
+            it = meta["step"] + 1
+            gnorm = meta.get("extra", {}).get("gnorm", np.inf)
+            if cfg.optimal_plane and saved_cache is not None:
+                # resume keeps the accumulated plane refinement instead of
+                # silently restarting from an empty cache
+                cache = saved_cache
     while it < max_iters:
         if it > 1 and gnorm < cfg.stop:
             break
@@ -147,14 +167,16 @@ def solve(
             "ccd_step": float(diag.ccd_step),
             "n_planes": int(diag.n_planes),
             "energy": float(diag.energy),
+            "plane_overflow": bool(diag.plane_overflow),
             "piece_time": float(state.piece_time),
             "wall_ms": (time.perf_counter() - t0) * 1e3,
         }
         history.append(rec)
+        _warn_plane_overflow(cfg, diag, history)
         if callback:
             callback(it, diag)
         if checkpointer is not None:
-            checkpointer.maybe_save(it, state, extra={"gnorm": gnorm})
+            checkpointer.maybe_save(it, state, extra={"gnorm": gnorm}, cache=cache)
         it += 1
     return state, history
 
@@ -182,6 +204,13 @@ def solve_multi(
     warn_on_coarse_overflow(consts, cfg, state.spline, scene)
     history: list[dict] = []
     it, gnorm = 0, np.inf
+    # optimal_plane=1: persistent multi-robot plane caches (obstacle +
+    # robot-pair, Optimization3D_multi.h:278-327) — refinement accumulates
+    caches = None
+    if cfg.optimal_plane:
+        caches = multi_mod.init_multi_caches(
+            cfg, consts, state.spline.shape[0], state.spline.dtype
+        )
     if checkpointer is not None:
         restored = checkpointer.restore_latest(dtype=state.spline.dtype)
         if restored is not None:
@@ -192,7 +221,14 @@ def solve_multi(
         if it > 1 and gnorm < cfg.stop:
             break
         t0 = time.perf_counter()
-        state, diag = multi_mod.multi_admm_step_jit(consts, cfg, state, scene, coupled)
+        if caches is not None:
+            state, diag, caches = multi_mod.multi_admm_step_cached_jit(
+                consts, cfg, state, scene, coupled, caches
+            )
+        else:
+            state, diag = multi_mod.multi_admm_step_jit(
+                consts, cfg, state, scene, coupled
+            )
         gnorm = float(diag.gnorm)
         history.append(
             {
@@ -203,10 +239,12 @@ def solve_multi(
                 "ccd_step": float(diag.ccd_step),
                 "n_planes": int(diag.n_planes),
                 "energy": float(diag.energy),
+                "plane_overflow": bool(diag.plane_overflow),
                 "piece_time": float(jnp.max(state.piece_time)),
                 "wall_ms": (time.perf_counter() - t0) * 1e3,
             }
         )
+        _warn_plane_overflow(cfg, diag, history)
         if checkpointer is not None:
             checkpointer.maybe_save(it, state, extra={"gnorm": gnorm})
         it += 1

@@ -78,12 +78,21 @@ def self_planes(
     cfg: TrajOptConfig,
     splines: jnp.ndarray,          # [U,T,3] local robots
     axis_name: str | None = None,
-) -> Planes:
+    cache=None,
+) -> tuple[Planes, jnp.ndarray] | tuple[Planes, jnp.ndarray, "PairPlaneCache"]:
     """Per-robot plane tables against every other robot's segment hull.
 
     Each robot computes its own side of each pair plane (the symmetric
     formula of Separate::selfgjk + Optimal_plane::optimal_d makes the two
     sides consistent), so the only communication is one hull all_gather.
+    Returns (planes, overflow) — overflow means live in-radius pairs beyond
+    ``cfg.self_plane_gjk_budget`` got no plane this iteration.
+
+    ``cache`` (a `types.PairPlaneCache`, used when ``cfg.optimal_plane``):
+    candidates whose partner robot was planed last iteration warm-start the
+    symmetric refinement from the CACHED plane — the reference's persistent
+    ``is_self_seperate/self_seperate_c/self_seperate_d`` semantics
+    (Optimization3D_multi.h:278-327).  Returns (planes, overflow, new_cache).
     """
     u_local = splines.shape[0]
     my_hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)   # [U,P,R,n,3]
@@ -123,7 +132,8 @@ def self_planes(
     # budget are dropped exactly like pairs beyond the ks candidate budget.
     flat_mask = cand_mask.reshape(-1)
     nf = flat_mask.shape[0]
-    budget = min(nf, 2048)
+    budget = min(nf, cfg.self_plane_gjk_budget)
+    overflow = jnp.sum(flat_mask) > budget
     d2f = jnp.where(flat_mask, nd2.reshape(-1), jnp.inf)
     _, sel = jax.lax.top_k(-d2f, budget)
     sel_live = flat_mask[sel]
@@ -147,10 +157,31 @@ def self_planes(
             ha, hb, cc, dd, cfg.offset, cfg.margin, 8
         )
     )(flat_mine, flat_other, c, d)
+    if cache is not None:
+        # persistent pair-plane warm start (Optimization3D_multi.h:278-327):
+        # candidates whose partner id has a cached plane refine from the
+        # CACHED (c, d) — refinement accumulates across iterations.  Only
+        # warm planes that are feasible for BOTH current hulls (the hulls
+        # moved since the plane was cached) are used.
+        match = idx[..., :, None] == cache.partner[..., None, :]  # [U,P,R,ks,ks]
+        hit_t = jnp.any(match, axis=-1)
+        slot = jnp.argmax(match, axis=-1)                         # [U,P,R,ks]
+        warm_c_t = jnp.take_along_axis(cache.c, slot[..., None], axis=3)
+        warm_d_t = jnp.take_along_axis(cache.d, slot, axis=3)
+        hit = hit_t.reshape(-1)[sel]
+        warm_c = warm_c_t.reshape(-1, 3)[sel]
+        warm_d = warm_d_t.reshape(-1)[sel]
+        wa = jnp.einsum("nmd,nd->nm", flat_mine, warm_c) + warm_d[:, None]
+        wb = -(jnp.einsum("nmd,nd->nm", flat_other, warm_c) + warm_d[:, None])
+        warm_ok = hit & jnp.all(wa > 0.5 * cfg.offset, axis=1) & jnp.all(
+            wb > 0.5 * cfg.offset, axis=1
+        )
+        c = jnp.where(warm_ok[:, None], warm_c, c)
+        d = jnp.where(warm_ok, warm_d, d)
     if cfg.optimal_plane:
         # barrier-optimal rotation refinement of the pair plane
         # (Optimal_plane::self_optimal_cd, Optimal_plane.h:620-773); the
-        # fresh mid-plane is the warm start
+        # fresh mid-plane (or the cached plane) is the warm start
         c2, d2 = jax.vmap(
             lambda ha, hb, cc, dd: geo.refine_pair_plane(
                 ha, hb, cc, dd, cfg.offset, cfg.margin
@@ -175,11 +206,25 @@ def self_planes(
         d_store.astype(splines.dtype)
     )
     ok_full = jnp.zeros((nf,), bool).at[sel].set(sel_live & valid)
-    return Planes(
+    planes = Planes(
         c=c_full.reshape(*shape, 3),
         d=d_full.reshape(shape),
         mask=ok_full.reshape(shape),
     )
+    if cache is None:
+        return planes, overflow
+    from ..types import PairPlaneCache
+
+    # new cache: the refined MIDPLANE (c, d) per live slot, keyed by partner id
+    d_mid_full = jnp.zeros((nf,), splines.dtype).at[sel].set(
+        d.astype(splines.dtype)
+    )
+    new_cache = PairPlaneCache(
+        partner=jnp.where(planes.mask, idx, -1).astype(jnp.int32),
+        c=planes.c,
+        d=d_mid_full.reshape(shape),
+    )
+    return planes, overflow, new_cache
 
 
 # ---------------------------------------------------------------------------
@@ -188,14 +233,12 @@ def self_planes(
 
 
 def _build_ccd(consts, cfg, splines, directions, scene, axis_name):
-    """Obstacle + robot-pair CCD tables (ops/ccd.py — sound for every pair)."""
+    """Robot-pair CCD tables for the decoupled per-robot-step fixpoint
+    (ops/ccd.py::pair_bad — sound for every pair).  The obstacle and coupled
+    paths use the table-free `*_max_step_direct` functions instead."""
     u_local = splines.shape[0]
     my_hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)
     my_dhulls = jax.vmap(lambda s: en.seg_cps(consts, s))(directions)
-    obs = ccd_ops.build_obstacle_ccd(
-        my_hulls, my_dhulls, scene.points, scene.mask, cfg.max_ccd_candidates,
-        cfg.offset,
-    )
     all_hulls = _gather_robots(my_hulls, axis_name)
     all_dhulls = _gather_robots(my_dhulls, axis_name)
     gids = _robot_offset(u_local, axis_name) + jnp.arange(u_local, dtype=jnp.int32)
@@ -203,15 +246,7 @@ def _build_ccd(consts, cfg, splines, directions, scene, axis_name):
     pair = ccd_ops.build_pair_ccd(
         my_hulls, my_dhulls, all_hulls, all_dhulls, gids, ks
     )
-    return obs, pair
-
-
-def _obstacle_collision(cfg, obs_tabs, steps):
-    """[U] bool: any uncertified (segment, obstacle) pair per robot."""
-    return ccd_ops.obstacle_bad(
-        obs_tabs, steps, cfg.offset, cfg.gjk_iters,
-        geo.use_pallas_gjk(cfg, obs_tabs.hull.dtype),
-    )
+    return None, pair
 
 
 def _self_collision(cfg, pair_tabs, my_steps, all_steps):
@@ -225,13 +260,28 @@ def _self_collision(cfg, pair_tabs, my_steps, all_steps):
 
 def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
     """One fleet-wide scalar step (Step::couple_self_step + per-robot
-    position_step min-reduce, Optimization3D_multi.h:586-594): the analytic
-    per-pair max-step (ops/ccd.py) min-reduced over the fleet in a single
-    certification pass, floored to the 0.8^k rung lattice."""
-    obs_tabs, pair_tabs = _build_ccd(consts, cfg, splines, directions, scene, axis_name)
+    position_step min-reduce, Optimization3D_multi.h:586-594): the
+    three-level analytic per-pair max-step (ops/ccd.py::*_direct)
+    min-reduced over the fleet in a single certification pass, floored to
+    the 0.8^k rung lattice."""
+    u_local = splines.shape[0]
+    my_hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)
+    my_dhulls = jax.vmap(lambda s: en.seg_cps(consts, s))(directions)
+    all_hulls = _gather_robots(my_hulls, axis_name)
+    all_dhulls = _gather_robots(my_dhulls, axis_name)
+    gids = _robot_offset(u_local, axis_name) + jnp.arange(u_local, dtype=jnp.int32)
     pallas = geo.use_pallas_gjk(cfg, splines.dtype)
-    s_obs = ccd_ops.obstacle_max_step(obs_tabs, cfg.offset, cfg.gjk_iters, pallas)
-    s_pair = ccd_ops.pair_max_step(pair_tabs, cfg.offset, cfg.gjk_iters, pallas)
+    s_obs = ccd_ops.obstacle_max_step_direct(
+        my_hulls, my_dhulls, scene.points, scene.mask, cfg.offset,
+        cfg.gjk_iters, pallas, s1_slots=max(8, 4 * cfg.max_ccd_candidates),
+        n_slots=cfg.ccd_gjk_slots,
+    )
+    s_pair = ccd_ops.pair_max_step_direct(
+        my_hulls, my_dhulls, all_hulls, all_dhulls, gids, cfg.offset,
+        cfg.gjk_iters, pallas,
+        k_partners=max(1, 2 * cfg.max_self_planes),
+        n_slots=cfg.ccd_pair_gjk_slots,
+    )
     s = _gmin(jnp.minimum(s_obs, s_pair), axis_name)
     return admm.rung_floor(cfg, s)
 
@@ -242,7 +292,7 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
     parallel per robot; the pairwise part stays a fixpoint loop because the
     collision predicate couples both robots' current steps."""
     u = splines.shape[0]
-    obs_tabs, pair_tabs = _build_ccd(consts, cfg, splines, directions, scene, axis_name)
+    _, pair_tabs = _build_ccd(consts, cfg, splines, directions, scene, axis_name)
 
     def cond(carry):
         steps, bad, i = carry
@@ -267,7 +317,13 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
 
     # per-robot obstacle limit: analytic max-step, rung-floored per robot
     pallas = geo.use_pallas_gjk(cfg, splines.dtype)
-    s_obs = ccd_ops.obstacle_max_step(obs_tabs, cfg.offset, cfg.gjk_iters, pallas)
+    my_hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)
+    my_dhulls = jax.vmap(lambda s: en.seg_cps(consts, s))(directions)
+    s_obs = ccd_ops.obstacle_max_step_direct(
+        my_hulls, my_dhulls, scene.points, scene.mask, cfg.offset,
+        cfg.gjk_iters, pallas, s1_slots=max(8, 4 * cfg.max_ccd_candidates),
+        n_slots=cfg.ccd_gjk_slots,
+    )
     obs_steps = jax.vmap(lambda s: admm.rung_floor(cfg, s))(s_obs)
     return jnp.minimum(steps, obs_steps)
 
@@ -277,14 +333,40 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
 # ---------------------------------------------------------------------------
 
 
-def _all_planes(consts, cfg, state, scene, axis_name):
-    obstacle = jax.vmap(lambda s: admm.separate_planes(consts, cfg, s, scene))(
-        state.spline
-    )
-    if state.spline.shape[0] > 1 or axis_name is not None:
-        slf = self_planes(consts, cfg, state.spline, axis_name)
-        return jax.vmap(concat_planes)(obstacle, slf)
-    return obstacle
+def _all_planes(consts, cfg, state, scene, axis_name, caches=None):
+    """Fleet plane tables: (planes [U,...], overflow bool[, new caches]).
+
+    ``caches``: optional (obstacle PlaneCache [U,...], PairPlaneCache) pair —
+    the multi-robot persistent optimal_plane=1 state (threaded by
+    `multi_admm_step_cached` / `driver.solve_multi`)."""
+    multi = state.spline.shape[0] > 1 or axis_name is not None
+    if caches is not None:
+        obs_cache, pair_cache = caches
+        obstacle, ovf, obs_cache = jax.vmap(
+            lambda s, ca: admm.separate_planes(consts, cfg, s, scene, ca)
+        )(state.spline, obs_cache)
+        overflow = jnp.any(ovf)
+        if multi:
+            slf, self_ovf, pair_cache = self_planes(
+                consts, cfg, state.spline, axis_name, cache=pair_cache
+            )
+            planes = jax.vmap(concat_planes)(obstacle, slf)
+            return planes, overflow | self_ovf, (obs_cache, pair_cache)
+        return obstacle, overflow, (obs_cache, pair_cache)
+    if cfg.optimal_plane:
+        # refined path keeps the full per-robot tables (cache-slot aligned)
+        obstacle, ovf = jax.vmap(
+            lambda s: admm.separate_planes(consts, cfg, s, scene)
+        )(state.spline)
+        overflow = jnp.any(ovf)
+    else:
+        obstacle, overflow = admm.separate_planes_batch(
+            consts, cfg, state.spline, scene
+        )
+    if multi:
+        slf, self_ovf = self_planes(consts, cfg, state.spline, axis_name)
+        return jax.vmap(concat_planes)(obstacle, slf), overflow | self_ovf
+    return obstacle, overflow
 
 
 def _directions(consts, cfg, state, planes):
@@ -319,11 +401,34 @@ def multi_admm_step(
         return _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name)
 
 
-def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
+def multi_admm_step_cached(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,
+    scene: Scene,
+    coupled: bool,
+    caches,                      # (obstacle PlaneCache [U,...], PairPlaneCache)
+    axis_name: str | None = None,
+):
+    """`multi_admm_step` threading the persistent multi-robot plane caches
+    (optimal_plane=1 semantics, Optimization3D_multi.h:278-327).  Returns
+    (state, diag, new_caches)."""
+    with jax.default_matmul_precision("highest"):
+        return _multi_admm_step_impl(
+            consts, cfg, state, scene, coupled, axis_name, caches
+        )
+
+
+def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name, caches=None):
     # full-f32 matmul passes: bf16-pass Cholesky NaNs on ~1e6-condition KKTs
     u = state.spline.shape[0]
     u_total = u * (jax.lax.psum(1, axis_name) if axis_name else 1)
-    planes = _all_planes(consts, cfg, state, scene, axis_name)
+    if caches is not None:
+        planes, plane_overflow, caches = _all_planes(
+            consts, cfg, state, scene, axis_name, caches
+        )
+    else:
+        planes, plane_overflow = _all_planes(consts, cfg, state, scene, axis_name)
     ls, red = _directions(consts, cfg, state, planes)
 
     if coupled:
@@ -472,13 +577,37 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name):
         n_planes=_gsum(planes.mask.sum(), axis_name),
         energy=_gsum(ev.value, axis_name),
         infeasible=_gany(ev.infeasible, axis_name),
+        plane_overflow=_gany(plane_overflow, axis_name),
     )
+    if caches is not None:
+        return state, diag, caches
     return state, diag
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "coupled"))
 def multi_admm_step_jit(consts, cfg, state, scene, coupled):
     return multi_admm_step(consts, cfg, state, scene, coupled, axis_name=None)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "coupled"))
+def multi_admm_step_cached_jit(consts, cfg, state, scene, coupled, caches):
+    return multi_admm_step_cached(
+        consts, cfg, state, scene, coupled, caches, axis_name=None
+    )
+
+
+def init_multi_caches(cfg, consts, u: int, dtype=jnp.float32):
+    """Empty persistent plane caches for a U-robot fleet (optimal_plane=1)."""
+    from ..types import empty_pair_plane_cache, empty_plane_cache
+
+    obs = jax.vmap(
+        lambda _: empty_plane_cache(
+            consts.piece_num, consts.res, cfg.max_planes, dtype
+        )
+    )(jnp.arange(u))
+    ks = min(cfg.max_self_planes, max(u - 1, 1))
+    pair = empty_pair_plane_cache(u, consts.piece_num, consts.res, ks, dtype)
+    return obs, pair
 
 
 def init_multi_state(ops, way_points_list, init_piece_time: float = 20.0, dtype=None):

@@ -122,6 +122,34 @@ def empty_plane_cache(piece_num: int, res: int, k: int, dtype=jnp.float32) -> Pl
     )
 
 
+class PairPlaneCache(NamedTuple):
+    """Persistent per-(robot, segment, partner-robot) pair-plane cache.
+
+    Multi-robot analog of `PlaneCache`, mirroring the reference's
+    ``is_self_seperate / self_seperate_c / self_seperate_d`` tables
+    (CCDUtils.h:64-70, consumed at Optimization3D_multi.h:278-327): a pair
+    plane keyed by the partner's global robot id survives across iterations
+    and warm-starts the symmetric barrier-optimal refinement
+    (`geometry.refine_pair_plane`), so refinement ACCUMULATES.
+    ``partner == -1`` marks an empty slot.  Leading axis U (local robots) —
+    shards with the robot mesh axis.
+    """
+
+    partner: jnp.ndarray  # [U, P, R, Ks] int32 global partner ids
+    c: jnp.ndarray        # [U, P, R, Ks, 3] unit normals (own side positive)
+    d: jnp.ndarray        # [U, P, R, Ks] midplane offsets
+
+
+def empty_pair_plane_cache(
+    u: int, piece_num: int, res: int, ks: int, dtype=jnp.float32
+) -> PairPlaneCache:
+    return PairPlaneCache(
+        partner=jnp.full((u, piece_num, res, ks), -1, dtype=jnp.int32),
+        c=jnp.zeros((u, piece_num, res, ks, 3), dtype=dtype),
+        d=jnp.zeros((u, piece_num, res, ks), dtype=dtype),
+    )
+
+
 class Scene(NamedTuple):
     """Static obstacle point cloud (padded to fixed N)."""
 
@@ -166,6 +194,10 @@ class StepDiag(NamedTuple):
     n_planes: jnp.ndarray         # live separating planes
     energy: jnp.ndarray           # AL spline energy after the update
     infeasible: jnp.ndarray       # bool: barrier found an infeasible point
+    # bool: more in-radius candidate pairs than plane_gjk_budget /
+    # self_plane_gjk_budget GJK slots — overflow pairs get NO barrier plane
+    # this iteration (CCD still keeps the trajectory safe); raise the budget
+    plane_overflow: jnp.ndarray = False
 
 
 def init_state(
