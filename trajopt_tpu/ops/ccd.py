@@ -535,6 +535,36 @@ def obstacle_max_step_direct(
         s0 = s_a if s0 is None else jnp.maximum(s0, s_a)
     s0 = jnp.where(pmask[None, :], jnp.maximum(s0, 0.0), jnp.inf)
 
+    # Fast path: one fused min-reduce of the level-1 expression (XLA fuses
+    # the whole elementwise chain into the reduce — no [S,N] materialization,
+    # no sort).  When every (segment, point) limit certifies the full step —
+    # the plateau regime, where the shrinking Newton direction pushes limits
+    # like gap/|d| above 1 — selection, k-DOP and GJK are all skipped.
+    s_seg_min = jnp.min(s0, axis=-1)                     # [S]
+    all_clear = jnp.min(s_seg_min) >= 1.0
+
+    def fast(_):
+        return jnp.min(s_seg_min.reshape(b, p, r), axis=(-1, -2))
+
+    def full(_):
+        return _obstacle_levels_23(
+            hull, dhull, points, s0, offset, gjk_iters, pallas,
+            s1_slots, n_slots,
+        )
+
+    s_b = jax.lax.cond(all_clear, fast, full, operand=None)
+    return jnp.clip(s_b, 0.0, 1.0 + 1e-6)  # 1+eps: see rung_floor strictness
+
+
+def _obstacle_levels_23(
+    hull, dhull, points, s0, offset, gjk_iters, pallas, s1_slots, n_slots
+):
+    """Levels 2-3 of `obstacle_max_step_direct` (selection + k-DOP + GJK),
+    taken only when some level-1 limit is below the full step."""
+    b, p, r, n, _ = hull.shape
+    n_pts = points.shape[0]
+    dtype = hull.dtype
+
     s1 = min(s1_slots, n_pts)
     k1 = min(s1 + 1, n_pts)
     neg, idx1_all = jax.lax.top_k(-s0, k1)               # [S,S1(+1)]
@@ -551,7 +581,15 @@ def obstacle_max_step_direct(
     dp = dhull @ ax.T
     lo0, hi0 = _interval(hp)                             # [B,P,R,D]
     spd_hi, spd_lo = _hull_speed(dp)
-    sel_proj = (points @ ax.T)[idx1]                     # [B,P,R,S1,D]
+    # gather 3-wide point rows and project inline (explicit 3-term sum, NOT
+    # a K=3 matmul and NOT a [N,D]-row gather — both measured far slower
+    # than this fused elementwise broadcast on TPU)
+    sel_pts1 = points[idx1]                              # [B,P,R,S1,3]
+    sel_proj = (
+        sel_pts1[..., 0:1] * ax[:, 0]
+        + sel_pts1[..., 1:2] * ax[:, 1]
+        + sel_pts1[..., 2:3] * ax[:, 2]
+    )                                                    # [B,P,R,S1,D]
     g_hi = sel_proj - hi0[..., None, :] - offset
     g_lo = lo0[..., None, :] - sel_proj - offset
     s_kd = jnp.max(
@@ -586,12 +624,14 @@ def obstacle_max_step_direct(
         s_ref = (dist0 - offset) / jnp.maximum(disp[..., None], 1e-12)
         return jnp.maximum(s_sel, jnp.maximum(s_ref, 0.0))
 
+    # GJK runs only when it can matter (some selected limit below the full
+    # step); near convergence the shrinking direction pushes every limit
+    # above 1 and the batch is skipped.  Skipping is strictly conservative.
     s_ref = jax.lax.cond(
-        jnp.any(s_sel < 1.0), refine, lambda _: s_sel, operand=None
+        jnp.min(s_sel) < 1.0, refine, lambda _: s_sel, operand=None
     )
     s_seg = jnp.minimum(jnp.min(s_ref, axis=-1), jnp.minimum(cap1, cap2))
-    s_b = jnp.min(s_seg, axis=(-1, -2))                  # [B]
-    return jnp.clip(s_b, 0.0, 1.0 + 1e-6)  # 1+eps: see rung_floor strictness
+    return jnp.min(s_seg, axis=(-1, -2))                 # [B]
 
 
 def pair_max_step_direct(
@@ -633,6 +673,34 @@ def pair_max_step_direct(
         not_self[:, None, None, :], jnp.maximum(s3, 0.0), jnp.inf
     )
 
+    # fast path: fused min-reduce; skip selection/k-DOP/GJK when every pair
+    # limit certifies the full step (see obstacle_max_step_direct)
+    s_seg_min = jnp.min(s3, axis=-1)                     # [U,P,R]
+    all_clear = jnp.min(s_seg_min) >= 1.0
+
+    def fast(_):
+        return jnp.min(s_seg_min, axis=(-1, -2))
+
+    def full(_):
+        return _pair_levels_23(
+            my_hulls, my_dhulls, all_hulls, all_dhulls, s3,
+            offset, gjk_iters, pallas, k_partners, n_slots,
+        )
+
+    s_u = jax.lax.cond(all_clear, fast, full, operand=None)
+    return jnp.clip(s_u, 0.0, 1.0 + 1e-6)  # 1+eps: see rung_floor strictness
+
+
+def _pair_levels_23(
+    my_hulls, my_dhulls, all_hulls, all_dhulls, s3,
+    offset, gjk_iters, pallas, k_partners, n_slots,
+):
+    """Levels 2-3 of `pair_max_step_direct` (partner selection + k-DOP +
+    GJK), taken only when some level-1 pair limit is below the full step."""
+    u, p, r, n, _ = my_hulls.shape
+    ut = all_hulls.shape[0]
+    dtype = my_hulls.dtype
+
     kp = min(k_partners, max(ut - 1, 1))
     k1 = min(kp + 1, ut)
     s3_all, part_all = ptk.smallest_k(s3, k1)            # [U,P,R,K1(+1)]
@@ -644,19 +712,29 @@ def pair_max_step_direct(
     )
 
     # --- level 2: full k-DOP limits on the selected partners -------------
+    # ONE hull gather per side (the same gathered hulls feed the GJK level),
+    # with k-DOP projections computed inline as explicit 3-term broadcasts
+    # — four separate [Ut,P,R,D]-table gathers measured far slower.
     ax = _axes(dtype)
-    my_hp, my_dp = my_hulls @ ax.T, my_dhulls @ ax.T
-    all_hp, all_dp = all_hulls @ ax.T, all_dhulls @ ax.T
+
+    def proj(x):   # [..., n, 3] -> [..., n, D]
+        return (
+            x[..., 0:1] * ax[:, 0]
+            + x[..., 1:2] * ax[:, 1]
+            + x[..., 2:3] * ax[:, 2]
+        )
+
+    my_hp, my_dp = proj(my_hulls), proj(my_dhulls)       # [U,P,R,n,D]
     lo_a0, hi_a0 = _interval(my_hp)                      # [U,P,R,D]
     spd_hi_a, spd_lo_a = _hull_speed(my_dp)
-    lo_b0, hi_b0 = _interval(all_hp)                     # [Ut,P,R,D]
-    spd_hi_b, spd_lo_b = _hull_speed(all_dp)
     p_idx = jnp.arange(p)[None, :, None, None]
     r_idx = jnp.arange(r)[None, None, :, None]
-    sel_lo_b = lo_b0[part, p_idx, r_idx]                 # [U,P,R,K1,D]
-    sel_hi_b = hi_b0[part, p_idx, r_idx]
-    sel_s_hi_b = spd_hi_b[part, p_idx, r_idx]
-    sel_s_lo_b = spd_lo_b[part, p_idx, r_idx]
+    sel_hulls1 = all_hulls[part, p_idx, r_idx]           # [U,P,R,K1,n,3]
+    sel_dhulls1 = all_dhulls[part, p_idx, r_idx]
+    sel_hp = proj(sel_hulls1)                            # [U,P,R,K1,n,D]
+    sel_dp = proj(sel_dhulls1)
+    sel_lo_b, sel_hi_b = _interval(sel_hp)               # [U,P,R,K1,D]
+    sel_s_hi_b, sel_s_lo_b = _hull_speed(sel_dp)
     g1 = lo_a0[..., None, :] - sel_hi_b - offset         # [U,P,R,K1,D]
     s1k = _side_limit(g1, spd_lo_a[..., None, :] + sel_s_hi_b)
     g2 = sel_lo_b - hi_a0[..., None, :] - offset
@@ -673,28 +751,31 @@ def pair_max_step_direct(
         s_all[..., -1] if k2 > s2n
         else jnp.full(s_all.shape[:-1], jnp.inf, dtype)
     )
-    sel_gid = jnp.take_along_axis(part, loc, axis=-1)    # [U,P,R,S2]
 
     # --- level 3: GJK + Lipschitz on the S2 slots ------------------------
     def refine(_):
-        sel_hulls = all_hulls[sel_gid, p_idx, r_idx]     # [U,P,R,S2,n,3]
-        sel_dhulls = all_dhulls[sel_gid, p_idx, r_idx]
+        # slice the already-gathered K1 hulls down to the S2 slots
+        sel_hulls = jnp.take_along_axis(
+            sel_hulls1, loc[..., None, None], axis=3
+        )                                                # [U,P,R,S2,n,3]
+        sel_dhulls = jnp.take_along_axis(
+            sel_dhulls1, loc[..., None, None], axis=3
+        )
         diff = (
             my_hulls[:, :, :, None, :, None, :]
             - sel_hulls[:, :, :, :, None, :, :]
         ).reshape(-1, n * n, 3)
         dist0 = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
-        dist0 = dist0.reshape(sel_gid.shape)
+        dist0 = dist0.reshape(loc.shape)
         disp = _disp_norm(my_dhulls)[..., None] + _disp_norm(sel_dhulls)
         s_ref = (dist0 - offset) / jnp.maximum(disp, 1e-12)
         return jnp.maximum(s_sel, jnp.maximum(s_ref, 0.0))
 
     s_ref = jax.lax.cond(
-        jnp.any(s_sel < 1.0), refine, lambda _: s_sel, operand=None
+        jnp.min(s_sel) < 1.0, refine, lambda _: s_sel, operand=None
     )
     s_seg = jnp.minimum(jnp.min(s_ref, axis=-1), jnp.minimum(cap1, cap2))
-    s_u = jnp.min(s_seg, axis=(-1, -2))                  # [U]
-    return jnp.clip(s_u, 0.0, 1.0 + 1e-6)  # 1+eps: see rung_floor strictness
+    return jnp.min(s_seg, axis=(-1, -2))                 # [U]
 
 
 def pair_max_step(tabs: PairCCD, offset, gjk_iters, pallas) -> jnp.ndarray:

@@ -83,37 +83,57 @@ def separate_planes_batch(
     SURVEY §7.3; raise ``cfg.plane_gjk_budget``)."""
     hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)  # [U,P,R,n,3]
     radius = cfg.offset + cfg.margin
-    cand = jax.vmap(
-        lambda h: bp.topk_candidates(
-            h, scene, radius, cfg.max_planes, coarse_k=cfg.broadphase_coarse_k
-        )
-    )(hulls)
-    u, p, r, k = cand.idx.shape
+    u, p, r = hulls.shape[:3]
     n = hulls.shape[-2]
+    k = cfg.max_planes
     nf = u * p * r * k
     budget = min(cfg.plane_gjk_budget, nf)
+    dtype = splines.dtype
+
+    cand = jax.vmap(
+        lambda h: bp.topk_candidates(
+            h, scene, radius, cfg.max_planes,
+            coarse_k=cfg.broadphase_coarse_k,
+        )
+    )(hulls)
     flat_mask = cand.mask.reshape(-1)
     overflow = jnp.sum(flat_mask) > budget
-    if budget < nf:
-        d2f = jnp.where(flat_mask, cand.d2.reshape(-1), jnp.inf)
-        _, sel = jax.lax.top_k(-d2f, budget)
-        sel_live = flat_mask[sel]
-        hull_f = hulls.reshape(u * p * r, n, 3)[sel // k]
-        pts_f = scene.points[cand.idx.reshape(-1)[sel]]
-    else:
-        sel = None
-        sel_live = flat_mask
-        hull_f = jnp.broadcast_to(
-            hulls[:, :, :, None], (u, p, r, k, n, 3)
-        ).reshape(-1, n, 3)
-        pts_f = scene.points[cand.idx.reshape(-1)]
-    c, d, valid = _fit_obstacle_planes(cfg, hull_f, pts_f, splines.dtype)
-    if sel is not None:
-        c_full = jnp.zeros((nf, 3), splines.dtype).at[sel].set(c)
-        d_full = jnp.zeros((nf,), splines.dtype).at[sel].set(d.astype(splines.dtype))
-        ok_full = jnp.zeros((nf,), bool).at[sel].set(sel_live & valid)
-    else:
-        c_full, d_full, ok_full = c, d.astype(splines.dtype), sel_live & valid
+
+    def live_path(_):
+        if budget < nf:
+            d2f = jnp.where(flat_mask, cand.d2.reshape(-1), jnp.inf)
+            _, sel = jax.lax.top_k(-d2f, budget)
+            sel_live = flat_mask[sel]
+            hull_f = hulls.reshape(u * p * r, n, 3)[sel // k]
+            pts_f = scene.points[cand.idx.reshape(-1)[sel]]
+        else:
+            sel = None
+            sel_live = flat_mask
+            hull_f = jnp.broadcast_to(
+                hulls[:, :, :, None], (u, p, r, k, n, 3)
+            ).reshape(-1, n, 3)
+            pts_f = scene.points[cand.idx.reshape(-1)]
+        c, d, valid = _fit_obstacle_planes(cfg, hull_f, pts_f, dtype)
+        if sel is not None:
+            c_full = jnp.zeros((nf, 3), dtype).at[sel].set(c)
+            d_full = jnp.zeros((nf,), dtype).at[sel].set(d.astype(dtype))
+            ok_full = jnp.zeros((nf,), bool).at[sel].set(sel_live & valid)
+        else:
+            c_full, d_full, ok_full = c, d.astype(dtype), sel_live & valid
+        return c_full, d_full, ok_full
+
+    def dead_path(_):
+        return (
+            jnp.zeros((nf, 3), dtype),
+            jnp.zeros((nf,), dtype),
+            jnp.zeros((nf,), bool),
+        )
+
+    # no in-radius candidate fleet-wide (the early/far regime): skip the
+    # whole GJK + plane-fit + scatter pipeline
+    c_full, d_full, ok_full = jax.lax.cond(
+        jnp.any(flat_mask), live_path, dead_path, operand=None
+    )
     planes = Planes(
         c=c_full.reshape(u, p, r, k, 3),
         d=d_full.reshape(u, p, r, k),
@@ -371,7 +391,7 @@ def ccd_step(
     pallas = geo.use_pallas_gjk(cfg, spline.dtype)
     s = ccd_ops.obstacle_max_step_direct(
         hull, dhull, scene.points, scene.mask, cfg.offset, cfg.gjk_iters,
-        pallas, s1_slots=max(8, 4 * cfg.max_ccd_candidates),
+        pallas, s1_slots=max(8, cfg.max_ccd_candidates),
         n_slots=cfg.ccd_gjk_slots,
     )[0]
     return rung_floor(cfg, s)

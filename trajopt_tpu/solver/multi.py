@@ -111,101 +111,117 @@ def self_planes(
     is_self = gids[:, None] == jnp.arange(u_total, dtype=jnp.int32)[None, :]
     d2 = jnp.where(is_self[:, :, None, None], jnp.inf, d2)
     d2 = jnp.moveaxis(d2, 1, -1)                                    # [U,P,R,Ut]
+    nf = u_local * consts.piece_num * consts.res * ks
+    budget = min(nf, cfg.self_plane_gjk_budget)
+    dtype = splines.dtype
+    shape = (u_local, consts.piece_num, consts.res, ks)
+
     from ..ops import pallas_topk as ptk
+
     nd2, idx = ptk.smallest_k(d2, ks)                               # [U,P,R,ks]
     cand_mask = nd2 <= radius * radius
-
-    # idx [U,P,R,ks] selects the partner robot; other_hulls: [U,P,R,ks,n,3]
-    other_hulls = jnp.take_along_axis(
-        jnp.broadcast_to(
-            jnp.moveaxis(all_hulls, 0, 2)[None],                    # [1,P,R,Ut,n,3]
-            (u_local,) + jnp.moveaxis(all_hulls, 0, 2).shape,
-        ),
-        idx[..., None, None],
-        axis=3,
-    )
-
-    # flat-batched mid-plane fit (Separate::selfgjk + Optimal_plane::optimal_d),
-    # COMPACTED to the in-radius candidates: the GJK / d-refinement math runs
-    # only on the nearest ``budget`` pairs fleet-wide (typically a few dozen
-    # are in radius vs U*P*R*ks slots), then scatters back.  Pairs beyond the
-    # budget are dropped exactly like pairs beyond the ks candidate budget.
     flat_mask = cand_mask.reshape(-1)
-    nf = flat_mask.shape[0]
-    budget = min(nf, cfg.self_plane_gjk_budget)
     overflow = jnp.sum(flat_mask) > budget
-    d2f = jnp.where(flat_mask, nd2.reshape(-1), jnp.inf)
-    _, sel = jax.lax.top_k(-d2f, budget)
-    sel_live = flat_mask[sel]
-    flat_mine = jnp.broadcast_to(
-        my_hulls[:, :, :, None], other_hulls.shape
-    ).reshape(-1, consts.n_cp, 3)[sel]
-    flat_other = other_hulls.reshape(-1, consts.n_cp, 3)[sel]
-    diff = (
-        flat_mine[:, :, None, :] - flat_other[:, None, :, :]
-    ).reshape(budget, -1, 3)
-    hd = geo.batched_origin_dist(
-        diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, splines.dtype)
-    )
-    vn = jnp.maximum(hd.dist, 1e-12)
-    c = (hd.v / vn[:, None]).astype(splines.dtype)
-    d0 = jnp.min(-jnp.einsum("nmd,nd->nm", flat_other, c), axis=1)
-    d1 = jnp.max(-jnp.einsum("nmd,nd->nm", flat_mine, c), axis=1)
-    d = 0.5 * (d0 + d1)
-    d = jax.vmap(
-        lambda ha, hb, cc, dd: geo._optimal_d(
-            ha, hb, cc, dd, cfg.offset, cfg.margin, 8
+
+    def live_path(_):
+        # idx selects the partner robot; other_hulls: [U,P,R,ks,n,3]
+        other_hulls = jnp.take_along_axis(
+            jnp.broadcast_to(
+                jnp.moveaxis(all_hulls, 0, 2)[None],                # [1,P,R,Ut,n,3]
+                (u_local,) + jnp.moveaxis(all_hulls, 0, 2).shape,
+            ),
+            idx[..., None, None],
+            axis=3,
         )
-    )(flat_mine, flat_other, c, d)
-    if cache is not None:
-        # persistent pair-plane warm start (Optimization3D_multi.h:278-327):
-        # candidates whose partner id has a cached plane refine from the
-        # CACHED (c, d) — refinement accumulates across iterations.  Only
-        # warm planes that are feasible for BOTH current hulls (the hulls
-        # moved since the plane was cached) are used.
-        match = idx[..., :, None] == cache.partner[..., None, :]  # [U,P,R,ks,ks]
-        hit_t = jnp.any(match, axis=-1)
-        slot = jnp.argmax(match, axis=-1)                         # [U,P,R,ks]
-        warm_c_t = jnp.take_along_axis(cache.c, slot[..., None], axis=3)
-        warm_d_t = jnp.take_along_axis(cache.d, slot, axis=3)
-        hit = hit_t.reshape(-1)[sel]
-        warm_c = warm_c_t.reshape(-1, 3)[sel]
-        warm_d = warm_d_t.reshape(-1)[sel]
-        wa = jnp.einsum("nmd,nd->nm", flat_mine, warm_c) + warm_d[:, None]
-        wb = -(jnp.einsum("nmd,nd->nm", flat_other, warm_c) + warm_d[:, None])
-        warm_ok = hit & jnp.all(wa > 0.5 * cfg.offset, axis=1) & jnp.all(
-            wb > 0.5 * cfg.offset, axis=1
+
+        # flat-batched mid-plane fit (Separate::selfgjk +
+        # Optimal_plane::optimal_d), COMPACTED to the nearest ``budget``
+        # in-radius pairs fleet-wide, then scattered back.
+        d2f = jnp.where(flat_mask, nd2.reshape(-1), jnp.inf)
+        _, sel = jax.lax.top_k(-d2f, budget)
+        sel_live = flat_mask[sel]
+        flat_mine = jnp.broadcast_to(
+            my_hulls[:, :, :, None], other_hulls.shape
+        ).reshape(-1, consts.n_cp, 3)[sel]
+        flat_other = other_hulls.reshape(-1, consts.n_cp, 3)[sel]
+        diff = (
+            flat_mine[:, :, None, :] - flat_other[:, None, :, :]
+        ).reshape(budget, -1, 3)
+        hd = geo.batched_origin_dist(
+            diff, cfg.gjk_iters, geo.use_pallas_gjk(cfg, dtype)
         )
-        c = jnp.where(warm_ok[:, None], warm_c, c)
-        d = jnp.where(warm_ok, warm_d, d)
-    if cfg.optimal_plane:
-        # barrier-optimal rotation refinement of the pair plane
-        # (Optimal_plane::self_optimal_cd, Optimal_plane.h:620-773); the
-        # fresh mid-plane (or the cached plane) is the warm start
-        c2, d2 = jax.vmap(
-            lambda ha, hb, cc, dd: geo.refine_pair_plane(
-                ha, hb, cc, dd, cfg.offset, cfg.margin
+        vn = jnp.maximum(hd.dist, 1e-12)
+        c = (hd.v / vn[:, None]).astype(dtype)
+        d0 = jnp.min(-jnp.einsum("nmd,nd->nm", flat_other, c), axis=1)
+        d1 = jnp.max(-jnp.einsum("nmd,nd->nm", flat_mine, c), axis=1)
+        d = 0.5 * (d0 + d1)
+        d = jax.vmap(
+            lambda ha, hb, cc, dd: geo._optimal_d(
+                ha, hb, cc, dd, cfg.offset, cfg.margin, 8
             )
         )(flat_mine, flat_other, c, d)
-        good = jnp.all(jnp.isfinite(c2), axis=-1) & jnp.isfinite(d2)
-        c = jnp.where(good[:, None], c2, c)
-        d = jnp.where(good, d2, d)
-    # Near-contact feasibility clamp on this robot's OWN side (see
-    # solver/admm.py::separate_planes): keeps the plane live (pushing the
-    # pair apart like the reference's exact-GJK planes, Separate.h:265-286)
-    # instead of dropped/infeasible when f32 leaves the midplane a hair on
-    # the wrong side of the hull.  Raising d only weakens the pair offset.
-    my_smin = jnp.min(jnp.einsum("nmd,nd->nm", flat_mine, c), axis=1)
-    d_store = d - 0.5 * cfg.offset
-    d_store = jnp.maximum(d_store, 1e-3 * cfg.margin - my_smin)
-    valid = hd.dist <= cfg.offset + 2 * cfg.margin
-    # scatter the compacted results back into the full candidate table
-    shape = idx.shape
-    c_full = jnp.zeros((nf, 3), splines.dtype).at[sel].set(c)
-    d_full = jnp.zeros((nf,), splines.dtype).at[sel].set(
-        d_store.astype(splines.dtype)
+        if cache is not None:
+            # persistent pair-plane warm start (Optimization3D_multi.h:
+            # 278-327): candidates whose partner id has a cached plane refine
+            # from the CACHED (c, d) — refinement accumulates across
+            # iterations.  Only warm planes that are feasible for BOTH
+            # current hulls (the hulls moved since caching) are used.
+            match = idx[..., :, None] == cache.partner[..., None, :]
+            hit_t = jnp.any(match, axis=-1)
+            slot = jnp.argmax(match, axis=-1)                     # [U,P,R,ks]
+            warm_c_t = jnp.take_along_axis(cache.c, slot[..., None], axis=3)
+            warm_d_t = jnp.take_along_axis(cache.d, slot, axis=3)
+            hit = hit_t.reshape(-1)[sel]
+            warm_c = warm_c_t.reshape(-1, 3)[sel]
+            warm_d = warm_d_t.reshape(-1)[sel]
+            wa = jnp.einsum("nmd,nd->nm", flat_mine, warm_c) + warm_d[:, None]
+            wb = -(jnp.einsum("nmd,nd->nm", flat_other, warm_c) + warm_d[:, None])
+            warm_ok = hit & jnp.all(wa > 0.5 * cfg.offset, axis=1) & jnp.all(
+                wb > 0.5 * cfg.offset, axis=1
+            )
+            c = jnp.where(warm_ok[:, None], warm_c, c)
+            d = jnp.where(warm_ok, warm_d, d)
+        if cfg.optimal_plane:
+            # barrier-optimal rotation refinement of the pair plane
+            # (Optimal_plane::self_optimal_cd, Optimal_plane.h:620-773); the
+            # fresh mid-plane (or the cached plane) is the warm start
+            c_r, d_r = jax.vmap(
+                lambda ha, hb, cc, dd: geo.refine_pair_plane(
+                    ha, hb, cc, dd, cfg.offset, cfg.margin
+                )
+            )(flat_mine, flat_other, c, d)
+            good = jnp.all(jnp.isfinite(c_r), axis=-1) & jnp.isfinite(d_r)
+            c = jnp.where(good[:, None], c_r, c)
+            d = jnp.where(good, d_r, d)
+        # Near-contact feasibility clamp on this robot's OWN side (see
+        # solver/admm.py::separate_planes): keeps the plane live (pushing the
+        # pair apart like the reference's exact-GJK planes, Separate.h:
+        # 265-286) instead of dropped/infeasible when f32 leaves the midplane
+        # a hair on the wrong side of the hull.
+        my_smin = jnp.min(jnp.einsum("nmd,nd->nm", flat_mine, c), axis=1)
+        d_store = d - 0.5 * cfg.offset
+        d_store = jnp.maximum(d_store, 1e-3 * cfg.margin - my_smin)
+        valid = hd.dist <= cfg.offset + 2 * cfg.margin
+        # scatter the compacted results back into the full candidate table
+        c_full = jnp.zeros((nf, 3), dtype).at[sel].set(c)
+        d_full = jnp.zeros((nf,), dtype).at[sel].set(d_store.astype(dtype))
+        ok_full = jnp.zeros((nf,), bool).at[sel].set(sel_live & valid)
+        d_mid_full = jnp.zeros((nf,), dtype).at[sel].set(d.astype(dtype))
+        return c_full, d_full, ok_full, d_mid_full
+
+    def dead_path(_):
+        return (
+            jnp.zeros((nf, 3), dtype),
+            jnp.zeros((nf,), dtype),
+            jnp.zeros((nf,), bool),
+            jnp.zeros((nf,), dtype),
+        )
+
+    # no robot pair in radius (early/far regime): skip hull gathers, GJK
+    # and refinement
+    c_full, d_full, ok_full, d_mid_full = jax.lax.cond(
+        jnp.any(flat_mask), live_path, dead_path, operand=None
     )
-    ok_full = jnp.zeros((nf,), bool).at[sel].set(sel_live & valid)
     planes = Planes(
         c=c_full.reshape(*shape, 3),
         d=d_full.reshape(shape),
@@ -216,9 +232,6 @@ def self_planes(
     from ..types import PairPlaneCache
 
     # new cache: the refined MIDPLANE (c, d) per live slot, keyed by partner id
-    d_mid_full = jnp.zeros((nf,), splines.dtype).at[sel].set(
-        d.astype(splines.dtype)
-    )
     new_cache = PairPlaneCache(
         partner=jnp.where(planes.mask, idx, -1).astype(jnp.int32),
         c=planes.c,
@@ -273,7 +286,7 @@ def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
     pallas = geo.use_pallas_gjk(cfg, splines.dtype)
     s_obs = ccd_ops.obstacle_max_step_direct(
         my_hulls, my_dhulls, scene.points, scene.mask, cfg.offset,
-        cfg.gjk_iters, pallas, s1_slots=max(8, 4 * cfg.max_ccd_candidates),
+        cfg.gjk_iters, pallas, s1_slots=max(8, cfg.max_ccd_candidates),
         n_slots=cfg.ccd_gjk_slots,
     )
     s_pair = ccd_ops.pair_max_step_direct(
@@ -321,7 +334,7 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
     my_dhulls = jax.vmap(lambda s: en.seg_cps(consts, s))(directions)
     s_obs = ccd_ops.obstacle_max_step_direct(
         my_hulls, my_dhulls, scene.points, scene.mask, cfg.offset,
-        cfg.gjk_iters, pallas, s1_slots=max(8, 4 * cfg.max_ccd_candidates),
+        cfg.gjk_iters, pallas, s1_slots=max(8, cfg.max_ccd_candidates),
         n_slots=cfg.ccd_gjk_slots,
     )
     obs_steps = jax.vmap(lambda s: admm.rung_floor(cfg, s))(s_obs)
@@ -488,20 +501,35 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name, caches=
         e0 = gsum_scalar(local_energy(jnp.asarray(0.0, t0.dtype)))
         ladder = admm.step_candidates(cfg, t0.dtype) * step0      # [S]
 
-        def accepted_scalar(step):
-            return e0 - _ARMIJO_C * wolfe * step >= gsum_scalar(local_energy(step))
+        e_step0 = gsum_scalar(local_energy(step0))
 
         def armijo_ladder(_):
             def eval_ok(ld):
                 es = gsum_scalar(jax.vmap(local_energy)(ld))      # [M]
-                return e0 - _ARMIJO_C * wolfe * ld >= es
+                return e0 - _ARMIJO_C * wolfe * ld >= es, es
 
-            ok = admm.staged_ladder_ok(eval_ok, ladder)
+            # staged ladder with the chosen rung's energy threaded out so the
+            # diagnostic energy needs no extra evaluation
+            ok1, es1 = eval_ok(ladder[:8])
+            done = jnp.any(ok1)
+
+            def rest(_):
+                return eval_ok(ladder[8:])
+
+            def skip(_):
+                m = ladder.shape[0] - 8
+                return jnp.zeros((m,), bool), jnp.full((m,), jnp.inf, e0.dtype)
+
+            ok2, es2 = jax.lax.cond(done, skip, rest, operand=None)
+            ok = jnp.concatenate([ok1, ok2])
+            es = jnp.concatenate([es1, es2])
             ok = jnp.concatenate([ok[:-1], jnp.ones(1, bool)])
-            return ladder[admm._first_true(ok)]
+            i = admm._first_true(ok)
+            return ladder[i], es[i]
 
-        step = jax.lax.cond(
-            accepted_scalar(step0), lambda _: step0, armijo_ladder, operand=None
+        accept0 = e0 - _ARMIJO_C * wolfe * step0 >= e_step0
+        step, e_acc = jax.lax.cond(
+            accept0, lambda _: (step0, e_step0), armijo_ladder, operand=None
         )
         spline = state.spline + step * directions
         piece_time = state.piece_time + step * dt[0]
@@ -565,18 +593,20 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name, caches=
         )[0]
         spline = state.spline + steps[:, None, None] * directions
         piece_time = state.piece_time + steps * dt
+        # diagnostic energy at the accepted steps (pre-slack — the point the
+        # reference logs from inside its line search, Optimization3D_admm.h:555)
+        e_acc = _gsum(per_robot_energy(steps), axis_name)
 
     state = state._replace(spline=spline, piece_time=piece_time)
     state, residual = jax.vmap(lambda st: admm.slack_update(consts, cfg, st))(state)
-    ev = jax.vmap(lambda st, pl: en.spline_energy(consts, cfg, st, pl))(state, planes)
     diag = StepDiag(
         gnorm=gnorm,
         consensus_residual=jnp.sqrt(_gsum(residual**2, axis_name)),
         step=jnp.min(steps),
         ccd_step=jnp.min(ccd_steps),
         n_planes=_gsum(planes.mask.sum(), axis_name),
-        energy=_gsum(ev.value, axis_name),
-        infeasible=_gany(ev.infeasible, axis_name),
+        energy=e_acc,
+        infeasible=~jnp.isfinite(e_acc),
         plane_overflow=_gany(plane_overflow, axis_name),
     )
     if caches is not None:
