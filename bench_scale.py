@@ -18,6 +18,29 @@ import json
 import time
 
 
+def _timed_median(run, state0, n=3):
+    """Median wall time of ``n`` distinct-start solves.
+
+    The runtime dedupes byte-identical repeat executions (~0 s) and the first
+    timed call of a process is sporadically inflated — the median of three
+    eps-distinct solves is stable.  Returns (dt_seconds, iters)."""
+    import time as _time
+
+    import jax
+
+    times, iters = [], None
+    for i in range(n):
+        s0 = state0._replace(spline=state0.spline + 1e-7 * (i + 3))
+        jax.block_until_ready(s0)
+        t0 = _time.perf_counter()
+        state, it, gnorm = run(s0)
+        jax.block_until_ready(state)
+        times.append(_time.perf_counter() - t0)
+        iters = int(it)
+    times.sort()
+    return times[len(times) // 2], iters, gnorm
+
+
 def run_case(uav_num: int, coupled: bool, n_points: int = 4000,
              n_pieces: int = 4, max_iters: int = 600) -> dict:
     import jax
@@ -29,17 +52,14 @@ def run_case(uav_num: int, coupled: bool, n_points: int = 4000,
         max_planes=16, max_self=4, max_ccd=16,
     )
 
-    def run():
+    def run(s0):
         return driver.solve_fused_multi(
-            consts, cfg, state0, scene, coupled=coupled, max_iters=max_iters
+            consts, cfg, s0, scene, coupled=coupled, max_iters=max_iters
         )
 
-    state, it, gnorm = run()
+    state, it, gnorm = run(state0)
     jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    state, it, gnorm = run()
-    iters = int(it)
-    dt = time.perf_counter() - t0
+    dt, iters, gnorm = _timed_median(run, state0)
     return {
         "case": f"{uav_num}robot_{'coupled' if coupled else 'decoupled'}_cross",
         "uav_num": uav_num,
@@ -71,16 +91,12 @@ def run_single(pieces: int, n_points: int = 20000, max_iters: int = 2000) -> dic
     scene = tt.make_scene(cloud)
     state0 = tt.init_state(ops, wp, cfg.init_piece_time)
 
-    def run():
-        return driver.solve_fused(consts, cfg, state0, scene, max_iters=max_iters)
+    def run(s0):
+        return driver.solve_fused(consts, cfg, s0, scene, max_iters=max_iters)
 
-    state, it, gnorm = run()
+    state, it, gnorm = run(state0)
     jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    state, it, gnorm = run()
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-    iters = int(it)
+    dt, iters, gnorm = _timed_median(run, state0)
     return {
         "case": f"single_bridge_p{pieces}",
         "pieces": pieces,
@@ -91,6 +107,65 @@ def run_single(pieces: int, n_points: int = 20000, max_iters: int = 2000) -> dic
         "converged": iters < max_iters,
         "gnorm": float(gnorm),
         "n_points": n_points,
+    }
+
+
+def run_batched_single(batch: int, pieces: int = 4, n_points: int = 2000,
+                       iters: int = 50) -> dict:
+    """Scenario batching of SINGLE-UAV solves — the TPU's throughput story
+    vs the C++ single-thread 2,580 it/s single-UAV number (BASELINE.md):
+    one chip amortizes its latency across ``batch`` independent scenarios."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trajopt_tpu.config import TrajOptConfig
+    from trajopt_tpu import types as tt
+    from trajopt_tpu.ops import splines as sp
+    from trajopt_tpu.scenes import generators as gen
+    from trajopt_tpu.solver import driver
+
+    cfg = TrajOptConfig(ks=1e-8, max_planes=16, max_ccd_candidates=16,
+                        stop=0.0)                      # fixed-iter throughput
+    cloud, wp = gen.bridge_scene(n_points=n_points, seed=0, n_pieces=pieces)
+    ops = sp.build_spline_ops(pieces, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(cloud)
+    state0 = tt.init_state(ops, wp, cfg.init_piece_time)
+    rng = np.random.default_rng(0)
+    deltas = jnp.asarray(
+        rng.normal(scale=1e-3, size=(batch,) + state0.spline.shape),
+        state0.spline.dtype,
+    )
+    states = jax.vmap(lambda d: state0._replace(spline=state0.spline + d))(deltas)
+
+    fn = jax.jit(jax.vmap(
+        lambda s: driver.solve_fused.__wrapped__(
+            consts, cfg, s, scene, max_iters=iters
+        )
+    ))
+    out = fn(states)
+    jax.block_until_ready(out[0])
+    states2 = jax.tree.map(
+        lambda x: x + 1e-7 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        states,
+    )                                                   # dedup guard
+    jax.block_until_ready(states2)
+    t0 = time.perf_counter()
+    out = fn(states2)
+    jax.block_until_ready(out[0])
+    dt = time.perf_counter() - t0
+    total = batch * iters
+    return {
+        "case": f"batch{batch}_single_p{pieces}",
+        "batch": batch,
+        "mode": "batched_single",
+        "pieces": pieces,
+        "iters_per_s": round(total / dt, 2),
+        "solve_iters_per_s_per_scenario": round(iters / dt, 2),
+        "wall_ms": round(dt * 1e3, 1),
     }
 
 
@@ -126,8 +201,13 @@ def run_batched(batch: int, uav_num: int = 4, n_points: int = 2000,
     ))
     out = fn(states)
     jax.block_until_ready(out[0])
+    states2 = jax.tree.map(
+        lambda x: x + 1e-7 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        states,
+    )                                                   # dedup guard, see bench.py
+    jax.block_until_ready(states2)
     t0 = time.perf_counter()
-    out = fn(states)
+    out = fn(states2)
     jax.block_until_ready(out[0])
     dt = time.perf_counter() - t0
     total = batch * iters
@@ -190,6 +270,15 @@ def main() -> None:
         print(json.dumps(r), flush=True)
     for b in ([4] if args.quick else [4, 16]):
         r = run_batched(b)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    for b in ([16] if args.quick else [16, 64, 256]):
+        r = run_batched_single(b)
+        # aggregate-throughput comparison vs the C++ single-UAV p4 row
+        key = (None, "single", r["pieces"])
+        if key in ref:
+            r["ref_iters_per_s"] = ref[key]
+            r["vs_baseline"] = round(r["iters_per_s"] / ref[key], 3)
         results.append(r)
         print(json.dumps(r), flush=True)
 
