@@ -91,14 +91,12 @@ def test_resume_matches_uninterrupted(tmp_path):
         )
 
 
-def test_multi_resume_matches_uninterrupted(tmp_path):
-    """Kill/resume for the multi-robot host loop (robot-batched state pytree
-    checkpoints transparently — r2 verdict task 7)."""
-    from trajopt_tpu.scenes import generators as gen2
+def _multi_cross_problem(optimal_plane=False):
     from trajopt_tpu.solver import multi
 
     cfg = TrajOptConfig(
-        res=4, max_planes=8, max_self_planes=4, max_ccd_candidates=8, ks=1e-3
+        res=4, max_planes=8, max_self_planes=4, max_ccd_candidates=8,
+        ks=1e-3, optimal_plane=optimal_plane,
     )
     n_pieces = 3
     wps = []
@@ -112,6 +110,13 @@ def test_multi_resume_matches_uninterrupted(tmp_path):
     consts = tt.device_consts(ops)
     scene = tt.make_scene(np.full((8, 3), 100.0))
     state = multi.init_multi_state(ops, wps, cfg.init_piece_time)
+    return cfg, consts, scene, state
+
+
+def test_multi_resume_matches_uninterrupted(tmp_path):
+    """Kill/resume for the multi-robot host loop (robot-batched state pytree
+    checkpoints transparently — r2 verdict task 7)."""
+    cfg, consts, scene, state = _multi_cross_problem()
 
     ref, _ = driver.solve_multi(
         consts, cfg, state, scene, coupled=True, max_iters=8
@@ -128,3 +133,51 @@ def test_multi_resume_matches_uninterrupted(tmp_path):
             np.asarray(a), np.asarray(b), rtol=1e-12, atol=0,
             err_msg=f"multi resume diverged in {f}",
         )
+
+
+def test_multi_resume_optimal_plane_caches(tmp_path):
+    """optimal_plane=1 multi resume: the persistent obstacle + pair plane
+    caches must survive the checkpoint (reference semantics: the
+    is_self_seperate/self_seperate_c/d tables live across the whole run,
+    Optimization3D_multi.h:278-327) — a resume that restarts from empty
+    caches diverges from the uninterrupted run (r4 verdict task 5)."""
+    cfg, consts, scene, state = _multi_cross_problem(optimal_plane=True)
+
+    ref, _ = driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=8
+    )
+    mgr = ckpt.CheckpointManager(str(tmp_path), every=1, keep=2)
+    driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=4, checkpointer=mgr
+    )
+    resumed, _ = driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=8, checkpointer=mgr
+    )
+    for f, a, b in zip(ref._fields, ref, resumed):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=0,
+            err_msg=f"multi optimal_plane resume diverged in {f}",
+        )
+
+
+def test_multi_cache_checkpoint_roundtrip(tmp_path):
+    """(obstacle PlaneCache, PairPlaneCache) serialization round-trip."""
+    from trajopt_tpu.solver import multi as multi_mod
+
+    cfg, consts, scene, state = _multi_cross_problem(optimal_plane=True)
+    caches = multi_mod.init_multi_caches(cfg, consts, 2, state.spline.dtype)
+    obs, pair = caches
+    obs = obs._replace(obs_id=obs.obs_id.at[0, 0, 0, 0].set(5))
+    pair = pair._replace(
+        partner=pair.partner.at[1, 0, 0, 0].set(0),
+        d=pair.d.at[1, 0, 0, 0].set(0.25),
+    )
+    p = tmp_path / "ck.npz"
+    ckpt.save(str(p), state, step=3, cache=(obs, pair))
+    _, meta, restored = ckpt.load_full(str(p))
+    assert meta["cache_kind"] == "multi"
+    r_obs, r_pair = restored
+    for a, b in zip(obs, r_obs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(pair, r_pair):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -104,8 +104,10 @@ def solve_single_case(pieces: int, n_points=20000):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tol", type=float, default=TOL)
+    # NOTE: default deliberately NOT PARITY.md — that file is the committed
+    # component-mapping document; the measured table gets its own file.
     ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "..", "PARITY.md"))
+        os.path.dirname(__file__), "..", "PARITY_MEASURED.md"))
     ap.add_argument("--json", default=os.path.join(
         os.path.dirname(__file__), "parity.json"))
     ap.add_argument("--quick", action="store_true",
@@ -161,7 +163,7 @@ def main() -> None:
 
     with open(args.out, "w") as f:
         f.write(
-            "# PARITY — trajectory quality vs the measured C++ reference\n\n"
+            "# PARITY (measured) — trajectory quality vs the measured C++ reference\n\n"
             "Protocol (SURVEY §6 / BASELINE.md): both solvers consume the\n"
             "byte-identical exported scenes (`tools/ref_baseline/`), run to the\n"
             "same `gnorm < 1e-2` stop, and report the reference's own quality\n"

@@ -64,6 +64,13 @@ class TrajOptConfig:
     # congestion, smaller = less GJK work per step.
     ccd_gjk_slots: int = 8
     ccd_pair_gjk_slots: int = 4
+    # Dangerous-segment budget of the obstacle CCD (ops/ccd.py::
+    # obstacle_max_step_direct): levels 2-3 refine only the W segments with
+    # the smallest level-1 analytic limits; every other segment keeps its own
+    # exact level-1 limit (sound — never a cap).  Measured danger counts on
+    # the 64-robot bench peak at 14 of 2048 segments, so 64 is ~5x headroom;
+    # raising it only costs speed.
+    ccd_seg_budget: int = 64
     gjk_iters: int = 24        # Frank-Wolfe iterations in the device GJK kernel
     use_pallas_gjk: bool | None = None  # None = auto (TPU + float32)
     max_iters: int = 1_000_000
@@ -78,6 +85,12 @@ class TrajOptConfig:
     #   ops/gradients.py::analytic_spline_gh); "autodiff": jacfwd(grad) oracle
     grad_mode: str = "analytic"
     broadphase_coarse_k: int = 64  # two-level broad phase subset (0 = direct)
+    # Dangerous-piece budget of the fleet-batched broad phase
+    # (ops/broadphase.py::fleet_candidates): only the Wp pieces nearest the
+    # cloud run the coarse top-k; pieces farther than the query radius have
+    # no candidate by construction (exact).  Overflow -> plane_overflow
+    # telemetry.  0 disables the compaction (per-robot topk_candidates).
+    broadphase_piece_budget: int = 32
 
     @property
     def order(self) -> int:

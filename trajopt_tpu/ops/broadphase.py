@@ -75,7 +75,7 @@ def topk_candidates(
         plo, phi = lo.min(axis=-2), hi.max(axis=-2)        # [P,3] piece boxes
         d2p = aabb_point_dist2(plo, phi, scene.points)     # [P,N]
         d2p = jnp.where(scene.mask, d2p, jnp.inf)
-        _, cidx = jax.lax.top_k(-d2p, coarse_k)            # [P,Ck]
+        _, cidx = ptk.smallest_k(d2p, coarse_k)            # [P,Ck]
         sub = scene.points[cidx]                           # [P,Ck,3]
         subok = jnp.take_along_axis(
             jnp.broadcast_to(scene.mask, d2p.shape), cidx, axis=1
@@ -92,6 +92,100 @@ def topk_candidates(
         nd2, idx = ptk.smallest_k(d2, k)                   # [P,R,K]
     mask = nd2 <= radius * radius
     return Candidates(idx=idx.astype(jnp.int32), mask=mask, d2=nd2)
+
+
+def fleet_candidates(
+    hulls: jnp.ndarray,       # [U, P, R, n, 3] all robots' segment hulls
+    scene: Scene,
+    radius: float,
+    k: int,
+    coarse_k: int = 64,
+    piece_budget: int = 32,
+) -> tuple[Candidates, jnp.ndarray]:
+    """Fleet-batched two-level candidate tables with DANGEROUS-PIECE
+    compaction: only the ``piece_budget`` pieces nearest the cloud run the
+    coarse top-k at all.
+
+    EXACT under the returned overflow flag: a piece whose box-to-cloud min
+    distance exceeds ``radius`` has no in-radius point for ANY of its
+    segments (the piece box contains every segment hull, so point-to-box
+    distance lower-bounds point-to-hull distance) — its table is all-masked
+    either way.  ``overflow`` is True when more than ``piece_budget`` pieces
+    are within radius (surfaced via StepDiag.plane_overflow; raise the
+    budget for dense scenes).
+
+    Replaces the round-4 path (per-robot `topk_candidates` under vmap),
+    whose [U*P, N] `lax.top_k` lowered to a full TPU sort (~0.5 ms/iter at
+    the 64-robot bench) plus two pathological scalar gathers (~0.5 ms) —
+    the piece compaction runs the same math on ~32 rows instead of 256.
+
+    Returns (Candidates [U,P,R,K], overflow).
+    """
+    u, p, r, n, _ = hulls.shape
+    n_pts = scene.points.shape[0]
+    up = u * p
+    dtype = hulls.dtype
+    lo, hi = hull_aabbs(hulls)                             # [U,P,R,3]
+    lo_f = lo.reshape(up, r, 3)
+    hi_f = hi.reshape(up, r, 3)
+    plo = lo_f.min(axis=1)                                 # [UP,3] piece boxes
+    phi = hi_f.max(axis=1)
+
+    # level 0: fused piece-box-to-cloud min distances (no materialization)
+    d2p = aabb_point_dist2(plo, phi, scene.points)         # [UP,N]
+    d2p = jnp.where(scene.mask, d2p, jnp.inf)
+    pmin = jnp.min(d2p, axis=-1)                           # [UP]
+    r2 = radius * radius
+    wp = min(piece_budget, up)
+    overflow = jnp.sum(pmin <= r2) > wp
+
+    k = min(k, n_pts)
+    ck = max(coarse_k, k)
+    ck = min(ck, n_pts)
+
+    _, sel2 = ptk.smallest_k(pmin[None], wp)               # [1,Wp]
+    sel = sel2[0]                                          # [Wp] piece ids
+
+    # level 1: coarse top-k over the cloud, selected pieces only
+    d2s = aabb_point_dist2(plo[sel], phi[sel], scene.points)   # [Wp,N]
+    d2s = jnp.where(scene.mask, d2s, jnp.inf)
+    cvals, cidx = ptk.smallest_k(d2s, ck)                  # [Wp,Ck]
+    sub = scene.points[cidx]                               # [Wp,Ck,3]
+
+    # level 2: per-segment nearest-k among the coarse candidates
+    slo = lo_f[sel]                                        # [Wp,R,3]
+    shi = hi_f[sel]
+    d = jnp.maximum(slo[:, :, None] - sub[:, None], 0.0) + jnp.maximum(
+        sub[:, None] - shi[:, :, None], 0.0
+    )                                                      # [Wp,R,Ck,3]
+    d2 = jnp.sum(d * d, axis=-1)
+    # dead coarse slots (masked points / short clouds) carry cvals == inf
+    d2 = jnp.where(jnp.isfinite(cvals)[:, None], d2, jnp.inf)
+    nd2, loc = ptk.smallest_k(d2, k)                       # [Wp,R,K]
+    # remap coarse-slot -> cloud id as a one-hot contraction: a 32k-element
+    # scalar `take_along_axis` measured 0.4 ms (1.5 GiB/s) on TPU, while the
+    # [Wp*R*K, Ck] one-hot matmul is ~2 MFLOP (cloud ids < 2^24 are exact
+    # in f32)
+    onehot = (
+        loc[..., None] == jnp.arange(ck, dtype=loc.dtype)
+    ).astype(dtype)                                        # [Wp,R,K,Ck]
+    idx = jnp.einsum("wrkc,wc->wrk", onehot, cidx.astype(dtype))
+    idx = idx.astype(jnp.int32)
+
+    # scatter the compacted tables back to the full fleet layout
+    idx_full = jnp.zeros((up, r, k), jnp.int32).at[sel].set(idx)
+    d2_full = jnp.full((up, r, k), jnp.inf, dtype).at[sel].set(nd2)
+    mask_full = (
+        jnp.zeros((up, r, k), bool).at[sel].set(nd2 <= r2)
+    )
+    return (
+        Candidates(
+            idx=idx_full.reshape(u, p, r, k),
+            mask=mask_full.reshape(u, p, r, k),
+            d2=d2_full.reshape(u, p, r, k),
+        ),
+        overflow,
+    )
 
 
 def coarse_overflow(

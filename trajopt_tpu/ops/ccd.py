@@ -470,7 +470,7 @@ def obstacle_max_step(tabs: ObstacleCCD, offset, gjk_iters, pallas) -> jnp.ndarr
 
 def obstacle_max_step_direct(
     hull, dhull, points, pmask, offset, gjk_iters, pallas,
-    s1_slots: int = 32, n_slots: int = 32,
+    s1_slots: int = 32, n_slots: int = 32, seg_budget: int = 64,
 ) -> jnp.ndarray:
     """[B] largest provably safe step per robot vs the cloud — bounded-cost
     variant of `obstacle_max_step` with NO full-cloud fallback branch.
@@ -548,8 +548,8 @@ def obstacle_max_step_direct(
 
     def full(_):
         return _obstacle_levels_23(
-            hull, dhull, points, s0, offset, gjk_iters, pallas,
-            s1_slots, n_slots,
+            hull, dhull, points, pmask, s_seg_min, offset, gjk_iters, pallas,
+            s1_slots, n_slots, seg_budget,
         )
 
     s_b = jax.lax.cond(all_clear, fast, full, operand=None)
@@ -557,48 +557,86 @@ def obstacle_max_step_direct(
 
 
 def _obstacle_levels_23(
-    hull, dhull, points, s0, offset, gjk_iters, pallas, s1_slots, n_slots
+    hull, dhull, points, pmask, s_seg_min, offset, gjk_iters, pallas,
+    s1_slots, n_slots, seg_budget,
 ):
     """Levels 2-3 of `obstacle_max_step_direct` (selection + k-DOP + GJK),
-    taken only when some level-1 limit is below the full step."""
+    taken only when some level-1 limit is below the full step.
+
+    DANGEROUS-SEGMENT COMPACTION: refinement runs only on the W
+    (``seg_budget``) segments with the smallest level-1 limits; every other
+    segment keeps its OWN exact level-1 limit ``s_seg_min`` — a sound
+    certificate, not a cap, so no (W+1)-th-value cap is needed at this level.
+    Measured on the 64-robot coupled bench: at most 14 of 2048 segments ever
+    have a level-1 limit below the full step, while the previous full-grid
+    layout ran `lax.top_k` (a full TPU sort) over [2048, 4000] every call —
+    41% of round 4's fused-step device time.  Refinement only ever RAISES a
+    selected segment's limit, so compaction cannot unsound-accept; an
+    overfull danger set (> W segments) merely keeps extra segments at their
+    conservative level-1 values (smaller steps, never unsafe)."""
     b, p, r, n, _ = hull.shape
+    n_seg = b * p * r
     n_pts = points.shape[0]
     dtype = hull.dtype
+    w = min(seg_budget, n_seg)
+
+    _, sel2 = ptk.smallest_k(s_seg_min[None], w)         # [1,W]
+    sel = sel2[0]                                        # [W] segment ids
+    hull_f = hull.reshape(n_seg, n, 3)[sel]              # [W,n,3]
+    dhull_f = dhull.reshape(n_seg, n, 3)[sel]
+
+    # --- level-1 rows recomputed for the selected segments ---------------
+    # (cheap [W,N] elementwise; gathering rows of the fused full-grid s0
+    # expression would force materializing the [n_seg,N] tensor instead)
+    lo3 = hull_f.min(axis=-2)                            # [W,3]
+    hi3 = hull_f.max(axis=-2)
+    sp_hi3 = jnp.maximum(dhull_f, 0.0).max(axis=-2)
+    sp_lo3 = jnp.maximum(-dhull_f, 0.0).max(axis=-2)
+    s0 = None
+    for a in range(3):
+        pa = points[:, a][None, :]                       # [1,N]
+        g_hi = pa - hi3[:, a][:, None] - offset          # [W,N]
+        g_lo = lo3[:, a][:, None] - pa - offset
+        s_a = jnp.maximum(
+            _side_limit(g_hi, sp_hi3[:, a][:, None]),
+            _side_limit(g_lo, sp_lo3[:, a][:, None]),
+        )
+        s0 = s_a if s0 is None else jnp.maximum(s0, s_a)
+    s0 = jnp.where(pmask[None, :], jnp.maximum(s0, 0.0), jnp.inf)
 
     s1 = min(s1_slots, n_pts)
     k1 = min(s1 + 1, n_pts)
-    neg, idx1_all = jax.lax.top_k(-s0, k1)               # [S,S1(+1)]
-    s3_sel = (-neg[:, :s1]).reshape(b, p, r, s1)
-    idx1 = idx1_all[:, :s1].reshape(b, p, r, s1)         # cloud ids
+    s_all1, idx1_all = ptk.smallest_k(s0, k1)            # [W,S1(+1)]
+    s3_sel = s_all1[:, :s1]
+    idx1 = idx1_all[:, :s1]                              # [W,S1] cloud ids
     cap1 = (
-        (-neg[:, -1]).reshape(b, p, r) if k1 > s1
-        else jnp.full((b, p, r), jnp.inf, dtype)
+        s_all1[:, -1] if k1 > s1 else jnp.full((w,), jnp.inf, dtype)
     )
 
     # --- level 2: full k-DOP limits on the S1 candidates -----------------
     ax = _axes(dtype)
-    hp = hull @ ax.T                                     # [B,P,R,n,D]
-    dp = dhull @ ax.T
-    lo0, hi0 = _interval(hp)                             # [B,P,R,D]
+    hp = hull_f @ ax.T                                   # [W,n,D]
+    dp = dhull_f @ ax.T
+    lo0, hi0 = _interval(hp)                             # [W,D]
     spd_hi, spd_lo = _hull_speed(dp)
     # gather 3-wide point rows and project inline (explicit 3-term sum, NOT
     # a K=3 matmul and NOT a [N,D]-row gather — both measured far slower
     # than this fused elementwise broadcast on TPU)
-    sel_pts1 = points[idx1]                              # [B,P,R,S1,3]
+    sel_pts1 = points[idx1]                              # [W,S1,3]
     sel_proj = (
         sel_pts1[..., 0:1] * ax[:, 0]
         + sel_pts1[..., 1:2] * ax[:, 1]
         + sel_pts1[..., 2:3] * ax[:, 2]
-    )                                                    # [B,P,R,S1,D]
-    g_hi = sel_proj - hi0[..., None, :] - offset
-    g_lo = lo0[..., None, :] - sel_proj - offset
+    )                                                    # [W,S1,D]
+    g_hi = sel_proj - hi0[:, None, :] - offset
+    g_lo = lo0[:, None, :] - sel_proj - offset
     s_kd = jnp.max(
         jnp.maximum(
-            _side_limit(g_hi, spd_hi[..., None, :]),
-            _side_limit(g_lo, spd_lo[..., None, :]),
+            _side_limit(g_hi, spd_hi[:, None, :]),
+            _side_limit(g_lo, spd_lo[:, None, :]),
         ),
         axis=-1,
-    )                                                    # [B,P,R,S1]
+    )                                                    # [W,S1]
     # both certificates are sound; keep the tighter (k-DOP >= AABB up to
     # the shared conservative speed bound, but max is safe regardless)
     s_kd = jnp.maximum(jnp.maximum(s_kd, 0.0), s3_sel)
@@ -606,22 +644,21 @@ def _obstacle_levels_23(
 
     s2 = min(n_slots, s1)
     k2 = min(s2 + 1, s1)
-    s_all, loc_all = ptk.smallest_k(s_kd, k2)            # [B,P,R,S2(+1)]
-    s_sel, loc = s_all[..., :s2], loc_all[..., :s2]
+    s_all, loc_all = ptk.smallest_k(s_kd, k2)            # [W,S2(+1)]
+    s_sel, loc = s_all[:, :s2], loc_all[:, :s2]
     cap2 = (
-        s_all[..., -1] if k2 > s2
-        else jnp.full(s_all.shape[:-1], jnp.inf, dtype)
+        s_all[:, -1] if k2 > s2 else jnp.full((w,), jnp.inf, dtype)
     )
-    idx2 = jnp.take_along_axis(idx1, loc, axis=-1)       # [B,P,R,S2] cloud ids
+    idx2 = jnp.take_along_axis(idx1, loc, axis=-1)       # [W,S2] cloud ids
 
     # --- level 3: GJK + Lipschitz refinement of the S2 slots -------------
     def refine(_):
-        sel_pts = points[idx2]                           # [B,P,R,S2,3]
-        diff = (hull[:, :, :, None] - sel_pts[..., None, :]).reshape(-1, n, 3)
+        sel_pts = points[idx2]                           # [W,S2,3]
+        diff = (hull_f[:, None] - sel_pts[..., None, :]).reshape(-1, n, 3)
         dist0 = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
         dist0 = dist0.reshape(idx2.shape)
-        disp = _disp_norm(dhull)                         # [B,P,R]
-        s_ref = (dist0 - offset) / jnp.maximum(disp[..., None], 1e-12)
+        disp = _disp_norm(dhull_f)                       # [W]
+        s_ref = (dist0 - offset) / jnp.maximum(disp[:, None], 1e-12)
         return jnp.maximum(s_sel, jnp.maximum(s_ref, 0.0))
 
     # GJK runs only when it can matter (some selected limit below the full
@@ -630,8 +667,15 @@ def _obstacle_levels_23(
     s_ref = jax.lax.cond(
         jnp.min(s_sel) < 1.0, refine, lambda _: s_sel, operand=None
     )
-    s_seg = jnp.minimum(jnp.min(s_ref, axis=-1), jnp.minimum(cap1, cap2))
-    return jnp.min(s_seg, axis=(-1, -2))                 # [B]
+    seg_ref = jnp.minimum(jnp.min(s_ref, axis=-1), jnp.minimum(cap1, cap2))
+
+    # --- scatter refined limits back to robots ---------------------------
+    rob = sel // (p * r)                                 # [W] owning robot
+    s_b = jnp.full((b,), jnp.inf, dtype).at[rob].min(seg_ref)
+    unsel = (
+        s_seg_min.at[sel].set(jnp.inf).reshape(b, p, r).min(axis=(-1, -2))
+    )
+    return jnp.minimum(s_b, unsel)                       # [B]
 
 
 def pair_max_step_direct(

@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 MAX_N = 1024   # largest reduction axis routed to the kernel ([n,128] VMEM tile)
 MAX_K = 64
+MAX_CHUNKS = 16  # hierarchical path handles n <= MAX_N * MAX_CHUNKS
 
 
 def use_pallas_topk(dtype, n: int, k: int) -> bool:
@@ -37,6 +38,15 @@ def use_pallas_topk(dtype, n: int, k: int) -> bool:
         and jnp.dtype(dtype) == jnp.float32
         and 1 < n <= MAX_N
         and k <= min(n, MAX_K)
+    )
+
+
+def use_pallas_topk_chunked(dtype, n: int, k: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and MAX_N < n <= MAX_N * MAX_CHUNKS
+        and k <= MAX_K
     )
 
 
@@ -99,15 +109,44 @@ def _smallest_k_nd(k: int):
     return _ND_CACHE[k]
 
 
+def _smallest_k_chunked(x: jnp.ndarray, k: int):
+    """Hierarchical selection for MAX_N < n <= MAX_N*MAX_CHUNKS: per-chunk
+    k-smallest (one kernel dispatch over all chunks), then an exact merge of
+    the c*k survivors (a second tiny dispatch).  Exact: the global k smallest
+    of a row is a subset of the union of its chunks' k smallest.  Tie
+    semantics match `smallest_k` (first occurrence): chunk-major merge order
+    is global-index order, and the kernel resolves ties to the lowest
+    position at both levels."""
+    n = x.shape[-1]
+    c = -(-n // MAX_N)
+    chunk = -(-n // c)
+    pad = c * chunk - n
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full(x.shape[:-1] + (pad,), jnp.inf, x.dtype)], axis=-1
+        )
+    xr = x.reshape(x.shape[:-1] + (c, chunk))
+    v, i = _smallest_k_nd(k)(xr)                         # [..., c, k]
+    i = i + (jnp.arange(c, dtype=i.dtype) * chunk)[:, None]
+    v2, j = _smallest_k_nd(k)(v.reshape(v.shape[:-2] + (c * k,)))
+    idx = jnp.take_along_axis(i.reshape(i.shape[:-2] + (c * k,)), j, axis=-1)
+    return v2, jnp.minimum(idx, n - 1)                   # clamp padded slots
+
+
 def smallest_k(x: jnp.ndarray, k: int):
     """k smallest entries along the last axis: (vals [..., k], idx [..., k]).
 
     Drop-in for ``(lambda neg, i: (-neg, i))(*lax.top_k(-x, k))`` — same
-    first-occurrence tie semantics — but one fused Pallas dispatch on TPU.
+    first-occurrence tie semantics — but one fused Pallas dispatch on TPU
+    (two for n > MAX_N, via the exact chunked merge: XLA's `top_k` lowers to
+    a FULL row sort on TPU — 2.6 ms/iter at the 64-robot bench's [2048,4000]
+    CCD shape, the single largest op of round 4's fused-step profile).
     Falls back to `lax.top_k` off-TPU / for unsupported shapes or dtypes.
     """
     n = x.shape[-1]
-    if not use_pallas_topk(x.dtype, n, k):
-        neg, idx = jax.lax.top_k(-x, k)
-        return -neg, idx
-    return _smallest_k_nd(k)(x)
+    if use_pallas_topk(x.dtype, n, k):
+        return _smallest_k_nd(k)(x)
+    if use_pallas_topk_chunked(x.dtype, n, k):
+        return _smallest_k_chunked(x, k)
+    neg, idx = jax.lax.top_k(-x, k)
+    return -neg, idx

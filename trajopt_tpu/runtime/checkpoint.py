@@ -17,10 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import PlaneCache, SolverState
+from ..types import PairPlaneCache, PlaneCache, SolverState
 
 _META = "_trajopt_meta"
 _CACHE_PREFIX = "plane_cache_"
+_PAIR_PREFIX = "pair_cache_"
 
 
 def save(
@@ -29,23 +30,35 @@ def save(
     *,
     step: int = 0,
     extra: dict | None = None,
-    cache: PlaneCache | None = None,
+    cache=None,
 ) -> None:
     """Atomic .npz checkpoint of a (possibly robot-batched) SolverState.
 
-    ``cache``: the persistent optimal_plane=1 separating-plane cache — saved
-    alongside the state so a resume keeps the accumulated refinement
-    (the reference's `is_seperate/seperate_c/seperate_d` live across the
-    whole run, CCDUtils.h:64-70)."""
+    ``cache``: the persistent optimal_plane=1 separating-plane state — saved
+    alongside so a resume keeps the accumulated refinement (the reference's
+    plane tables live across the whole run, CCDUtils.h:64-70).  Either a
+    single-robot `PlaneCache`, or the multi-robot pair
+    ``(obstacle PlaneCache [U,...], PairPlaneCache)`` mirroring
+    ``is_self_seperate/self_seperate_c/d`` (Optimization3D_multi.h:278-327)."""
     arrays = {f: np.asarray(x) for f, x in zip(state._fields, state)}
-    if cache is not None:
+    cache_kind = None
+    if isinstance(cache, tuple) and not isinstance(cache, PlaneCache):
+        obs, pair = cache
+        for f, x in zip(obs._fields, obs):
+            arrays[_CACHE_PREFIX + f] = np.asarray(x)
+        for f, x in zip(pair._fields, pair):
+            arrays[_PAIR_PREFIX + f] = np.asarray(x)
+        cache_kind = "multi"
+    elif cache is not None:
         for f, x in zip(cache._fields, cache):
             arrays[_CACHE_PREFIX + f] = np.asarray(x)
+        cache_kind = "single"
     meta = {
         "step": step,
         "fields": list(state._fields),
         "extra": extra or {},
         "has_plane_cache": cache is not None,
+        "cache_kind": cache_kind,
     }
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
@@ -73,17 +86,28 @@ def load(path: str, dtype=None) -> tuple[SolverState, dict]:
 
 def load_full(
     path: str, dtype=None
-) -> tuple[SolverState, dict, PlaneCache | None]:
+) -> tuple[SolverState, dict, object]:
     """Restore (state, meta, plane_cache) — cache is None when the
-    checkpoint was written without one."""
+    checkpoint was written without one, a `PlaneCache` for single-robot
+    checkpoints, or ``(obstacle PlaneCache, PairPlaneCache)`` for
+    multi-robot ones."""
     state, meta = load(path, dtype=dtype)
     cache = None
     if meta.get("has_plane_cache"):
         with np.load(path) as z:
-            cache = PlaneCache(
+            obs = PlaneCache(
                 obs_id=jnp.asarray(z[_CACHE_PREFIX + "obs_id"]),
                 c=jnp.asarray(z[_CACHE_PREFIX + "c"], dtype=dtype),
             )
+            if meta.get("cache_kind") == "multi":
+                pair = PairPlaneCache(
+                    partner=jnp.asarray(z[_PAIR_PREFIX + "partner"]),
+                    c=jnp.asarray(z[_PAIR_PREFIX + "c"], dtype=dtype),
+                    d=jnp.asarray(z[_PAIR_PREFIX + "d"], dtype=dtype),
+                )
+                cache = (obs, pair)
+            else:
+                cache = obs
     return state, meta, cache
 
 
@@ -101,7 +125,7 @@ class CheckpointManager:
         it: int,
         state: SolverState,
         extra: dict | None = None,
-        cache: PlaneCache | None = None,
+        cache=None,
     ) -> bool:
         if it % self.every != 0:
             return False

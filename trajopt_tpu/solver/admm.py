@@ -90,14 +90,22 @@ def separate_planes_batch(
     budget = min(cfg.plane_gjk_budget, nf)
     dtype = splines.dtype
 
-    cand = jax.vmap(
-        lambda h: bp.topk_candidates(
-            h, scene, radius, cfg.max_planes,
+    if cfg.broadphase_coarse_k > 0 and cfg.broadphase_piece_budget > 0:
+        cand, bp_overflow = bp.fleet_candidates(
+            hulls, scene, radius, cfg.max_planes,
             coarse_k=cfg.broadphase_coarse_k,
+            piece_budget=cfg.broadphase_piece_budget,
         )
-    )(hulls)
+    else:
+        cand = jax.vmap(
+            lambda h: bp.topk_candidates(
+                h, scene, radius, cfg.max_planes,
+                coarse_k=cfg.broadphase_coarse_k,
+            )
+        )(hulls)
+        bp_overflow = jnp.zeros((), bool)
     flat_mask = cand.mask.reshape(-1)
-    overflow = jnp.sum(flat_mask) > budget
+    overflow = (jnp.sum(flat_mask) > budget) | bp_overflow
 
     def live_path(_):
         if budget < nf:
@@ -176,7 +184,14 @@ def separate_planes(
     # returned overflow bool.  The cached/refined optimal_plane path keeps
     # the full table (cache slots align with cand.idx).
     compact = cache is None and not cfg.optimal_plane and nf > cfg.plane_gjk_budget
-    overflow = jnp.sum(cand.mask) > min(cfg.plane_gjk_budget, nf)
+    # overflow is measured against the budget actually applied: the
+    # non-compact (cache/optimal_plane) path keeps every candidate slot, so
+    # nothing can be dropped and the flag stays False there
+    overflow = (
+        jnp.sum(cand.mask) > cfg.plane_gjk_budget
+        if compact
+        else jnp.zeros((), bool)
+    )
     if compact:
         budget = cfg.plane_gjk_budget
         d2f = jnp.where(cand.mask.reshape(-1), cand.d2.reshape(-1), jnp.inf)
@@ -304,14 +319,18 @@ def _first_true(ok: jnp.ndarray, axis=0) -> jnp.ndarray:
 
 
 def staged_ladder_ok(eval_ok, ladder: jnp.ndarray, stage: int = 8) -> jnp.ndarray:
-    """Two-stage ladder evaluation: test the first ``stage`` rungs, and only
-    if some column still lacks an accept evaluate the tail (a `lax.cond`).
+    """Geometric staged ladder evaluation: test the first ``stage`` rungs,
+    and only if some column still lacks an accept recurse on the tail with a
+    doubled stage (nested `lax.cond`s — stages 8, 16, 32, ...).
 
     ``eval_ok(sub_ladder [M, ...]) -> bool [M, cols...]``.  Backtracking
     searches accept within the first few rungs almost always, so this cuts
-    ~85% of the ladder energy evaluations from the steady-state step.  The
-    predicate is derived from (globally reduced) energies, so under shard_map
-    every shard takes the same branch."""
+    ~85% of the ladder energy evaluations from the steady-state step; the
+    geometric stages bound the worst case at ~2x the accepted rung's depth
+    (round 4 paid a single 56-rung tail batch — a 165 MB barrier-energy
+    evaluation — whenever stage 1 missed).  The predicate is derived from
+    (globally reduced) energies, so under shard_map every shard takes the
+    same branch."""
     s = ladder.shape[0]
     n1 = min(stage, s)
     ok1 = eval_ok(ladder[:n1])
@@ -319,7 +338,7 @@ def staged_ladder_ok(eval_ok, ladder: jnp.ndarray, stage: int = 8) -> jnp.ndarra
         return ok1
 
     def rest(_):
-        return eval_ok(ladder[n1:])
+        return staged_ladder_ok(eval_ok, ladder[n1:], stage=2 * stage)
 
     def skip(_):
         return jnp.zeros((s - n1,) + ok1.shape[1:], bool)
@@ -327,6 +346,31 @@ def staged_ladder_ok(eval_ok, ladder: jnp.ndarray, stage: int = 8) -> jnp.ndarra
     done = jnp.all(jnp.any(ok1, axis=0))
     ok2 = jax.lax.cond(done, skip, rest, operand=None)
     return jnp.concatenate([ok1, ok2], axis=0)
+
+
+def staged_ladder_vals(eval_fn, ladder: jnp.ndarray, stage: int = 8):
+    """`staged_ladder_ok` threading a value alongside the predicate:
+    ``eval_fn(sub [M]) -> (ok [M, ...], vals [M, ...])``; skipped stages
+    return (False, +inf) so the chosen rung's value is always live."""
+    s = ladder.shape[0]
+    n1 = min(stage, s)
+    ok1, v1 = eval_fn(ladder[:n1])
+    if n1 == s:
+        return ok1, v1
+
+    def rest(_):
+        return staged_ladder_vals(eval_fn, ladder[n1:], stage=2 * stage)
+
+    def skip(_):
+        shp = (s - n1,) + ok1.shape[1:]
+        return jnp.zeros(shp, bool), jnp.full(shp, jnp.inf, v1.dtype)
+
+    done = jnp.all(jnp.any(ok1, axis=0))
+    ok2, v2 = jax.lax.cond(done, skip, rest, operand=None)
+    return (
+        jnp.concatenate([ok1, ok2], axis=0),
+        jnp.concatenate([v1, v2], axis=0),
+    )
 
 
 def rung_floor(cfg: TrajOptConfig, s: jnp.ndarray) -> jnp.ndarray:
@@ -392,7 +436,7 @@ def ccd_step(
     s = ccd_ops.obstacle_max_step_direct(
         hull, dhull, scene.points, scene.mask, cfg.offset, cfg.gjk_iters,
         pallas, s1_slots=max(8, cfg.max_ccd_candidates),
-        n_slots=cfg.ccd_gjk_slots,
+        n_slots=cfg.ccd_gjk_slots, seg_budget=cfg.ccd_seg_budget,
     )[0]
     return rung_floor(cfg, s)
 

@@ -212,11 +212,20 @@ def solve_multi(
             cfg, consts, state.spline.shape[0], state.spline.dtype
         )
     if checkpointer is not None:
-        restored = checkpointer.restore_latest(dtype=state.spline.dtype)
+        restored = checkpointer.restore_latest_full(dtype=state.spline.dtype)
         if restored is not None:
-            state, meta = restored
+            state, meta, saved_caches = restored
             it = meta["step"] + 1
             gnorm = meta.get("extra", {}).get("gnorm", np.inf)
+            if (
+                cfg.optimal_plane
+                and isinstance(saved_caches, tuple)
+                and len(saved_caches) == 2
+            ):
+                # resume keeps the accumulated obstacle + pair plane
+                # refinement (Optimization3D_multi.h:278-327) instead of
+                # silently restarting from empty caches
+                caches = saved_caches
     while it < max_iters:
         if it > 1 and gnorm < cfg.stop:
             break
@@ -246,7 +255,9 @@ def solve_multi(
         )
         _warn_plane_overflow(cfg, diag, history)
         if checkpointer is not None:
-            checkpointer.maybe_save(it, state, extra={"gnorm": gnorm})
+            checkpointer.maybe_save(
+                it, state, extra={"gnorm": gnorm}, cache=caches
+            )
         it += 1
     return state, history
 

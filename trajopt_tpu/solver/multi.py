@@ -287,7 +287,7 @@ def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
     s_obs = ccd_ops.obstacle_max_step_direct(
         my_hulls, my_dhulls, scene.points, scene.mask, cfg.offset,
         cfg.gjk_iters, pallas, s1_slots=max(8, cfg.max_ccd_candidates),
-        n_slots=cfg.ccd_gjk_slots,
+        n_slots=cfg.ccd_gjk_slots, seg_budget=cfg.ccd_seg_budget,
     )
     s_pair = ccd_ops.pair_max_step_direct(
         my_hulls, my_dhulls, all_hulls, all_dhulls, gids, cfg.offset,
@@ -335,7 +335,7 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
     s_obs = ccd_ops.obstacle_max_step_direct(
         my_hulls, my_dhulls, scene.points, scene.mask, cfg.offset,
         cfg.gjk_iters, pallas, s1_slots=max(8, cfg.max_ccd_candidates),
-        n_slots=cfg.ccd_gjk_slots,
+        n_slots=cfg.ccd_gjk_slots, seg_budget=cfg.ccd_seg_budget,
     )
     obs_steps = jax.vmap(lambda s: admm.rung_floor(cfg, s))(s_obs)
     return jnp.minimum(steps, obs_steps)
@@ -508,21 +508,10 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name, caches=
                 es = gsum_scalar(jax.vmap(local_energy)(ld))      # [M]
                 return e0 - _ARMIJO_C * wolfe * ld >= es, es
 
-            # staged ladder with the chosen rung's energy threaded out so the
-            # diagnostic energy needs no extra evaluation
-            ok1, es1 = eval_ok(ladder[:8])
-            done = jnp.any(ok1)
-
-            def rest(_):
-                return eval_ok(ladder[8:])
-
-            def skip(_):
-                m = ladder.shape[0] - 8
-                return jnp.zeros((m,), bool), jnp.full((m,), jnp.inf, e0.dtype)
-
-            ok2, es2 = jax.lax.cond(done, skip, rest, operand=None)
-            ok = jnp.concatenate([ok1, ok2])
-            es = jnp.concatenate([es1, es2])
+            # geometric staged ladder (8, 16, 32, ...) with the chosen rung's
+            # energy threaded out so the diagnostic energy needs no extra
+            # evaluation
+            ok, es = admm.staged_ladder_vals(eval_ok, ladder)
             ok = jnp.concatenate([ok[:-1], jnp.ones(1, bool)])
             i = admm._first_true(ok)
             return ladder[i], es[i]
