@@ -14,6 +14,7 @@ single-line headline benchmark; this file is the full matrix.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -141,10 +142,11 @@ def run_batched_single(batch: int, pieces: int = 4, n_points: int = 2000,
     )
     states = jax.vmap(lambda d: state0._replace(spline=state0.spline + d))(deltas)
 
-    fn = jax.jit(jax.vmap(
-        lambda s: driver.solve_fused.__wrapped__(
-            consts, cfg, s, scene, max_iters=iters
-        )
+    # batch-aware fused driver, NOT vmap(solve_fused): vmap turns the
+    # step's lax.conds into both-sides selects (round-4 plateau; see
+    # driver.solve_fused_batch)
+    fn = jax.jit(functools.partial(
+        driver.solve_fused_batch, consts, cfg, scene=scene, max_iters=iters
     ))
     out = fn(states)
     jax.block_until_ready(out[0])

@@ -60,6 +60,30 @@ def test_batched_fused_solve_converges():
     assert (np.asarray(out_state.piece_time) > 0).all()
 
 
+def test_solve_fused_batch_matches_individual():
+    """The batch-aware fused driver (multi machinery, interact=False) must
+    match per-scenario `solve_fused` results — same math, different
+    compaction/batching (driver.solve_fused_batch)."""
+    import jax.numpy as jnp
+
+    cfg, ops, consts, bstate, bscene, states, scenes = make_batch(n_scen=3)
+    # shared scene required by the batch driver: reuse scenario 0's scene
+    scene = scenes[0]
+    bstate = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    out_b, it, g = driver.solve_fused_batch(
+        consts, cfg, bstate, scene, max_iters=6
+    )
+    for i in range(3):
+        ref, *_ = driver.solve_fused(consts, cfg, states[i], scene, max_iters=6)
+        np.testing.assert_allclose(
+            np.asarray(out_b.spline[i]), np.asarray(ref.spline),
+            rtol=1e-8, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            float(out_b.piece_time[i]), float(ref.piece_time), rtol=1e-8
+        )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg, ops, consts, bstate, bscene, states, scenes = make_batch(n_scen=1)
     state = states[0]

@@ -299,34 +299,46 @@ def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
     return admm.rung_floor(cfg, s)
 
 
-def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
+def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name,
+                        interact=True):
     """Per-robot steps: pairwise self-shrink then obstacle min
     (Optimization3D_multi.h:74-83).  The obstacle part tests the ladder in
     parallel per robot; the pairwise part stays a fixpoint loop because the
-    collision predicate couples both robots' current steps."""
+    collision predicate couples both robots' current steps.
+
+    ``interact=False`` (independent-scenario batch): skip the pairwise
+    fixpoint entirely."""
     u = splines.shape[0]
-    _, pair_tabs = _build_ccd(consts, cfg, splines, directions, scene, axis_name)
+    if not interact:
+        steps = jnp.ones((u,), splines.dtype)
+        bad = jnp.zeros((u,), bool)
+    else:
+        _, pair_tabs = _build_ccd(
+            consts, cfg, splines, directions, scene, axis_name
+        )
 
-    def cond(carry):
-        steps, bad, i = carry
-        return (i < cfg.max_line_search) & _gany(bad, axis_name)
+        def cond(carry):
+            steps, bad, i = carry
+            return (i < cfg.max_line_search) & _gany(bad, axis_name)
 
-    def body(carry):
-        steps, bad, i = carry
-        steps = jnp.where(bad, steps * _SHRINK, steps)
-        all_steps = _gather_robots(steps, axis_name)
-        bad = _self_collision(cfg, pair_tabs, steps, all_steps)
-        return steps, bad, i + 1
+        def body(carry):
+            steps, bad, i = carry
+            steps = jnp.where(bad, steps * _SHRINK, steps)
+            all_steps = _gather_robots(steps, axis_name)
+            bad = _self_collision(cfg, pair_tabs, steps, all_steps)
+            return steps, bad, i + 1
 
-    steps0 = jnp.ones((u,), splines.dtype)
-    bad0 = _self_collision(
-        cfg, pair_tabs, steps0, _gather_robots(steps0, axis_name)
-    )
-    steps, bad, _ = jax.lax.while_loop(cond, body, (steps0, bad0, jnp.asarray(0)))
-    # soundness: robots still uncertified after the shrink budget freeze at 0
-    # (shrinking a robot's interval only shrinks swept hulls, so zeroing never
-    # invalidates another robot's certificate).
-    steps = jnp.where(bad, jnp.zeros_like(steps), steps)
+        steps0 = jnp.ones((u,), splines.dtype)
+        bad0 = _self_collision(
+            cfg, pair_tabs, steps0, _gather_robots(steps0, axis_name)
+        )
+        steps, bad, _ = jax.lax.while_loop(
+            cond, body, (steps0, bad0, jnp.asarray(0))
+        )
+        # soundness: robots still uncertified after the shrink budget freeze
+        # at 0 (shrinking a robot's interval only shrinks swept hulls, so
+        # zeroing never invalidates another robot's certificate).
+        steps = jnp.where(bad, jnp.zeros_like(steps), steps)
 
     # per-robot obstacle limit: analytic max-step, rung-floored per robot
     pallas = geo.use_pallas_gjk(cfg, splines.dtype)
@@ -346,13 +358,17 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name):
 # ---------------------------------------------------------------------------
 
 
-def _all_planes(consts, cfg, state, scene, axis_name, caches=None):
+def _all_planes(consts, cfg, state, scene, axis_name, caches=None,
+                interact=True):
     """Fleet plane tables: (planes [U,...], overflow bool[, new caches]).
 
     ``caches``: optional (obstacle PlaneCache [U,...], PairPlaneCache) pair —
     the multi-robot persistent optimal_plane=1 state (threaded by
-    `multi_admm_step_cached` / `driver.solve_multi`)."""
-    multi = state.spline.shape[0] > 1 or axis_name is not None
+    `multi_admm_step_cached` / `driver.solve_multi`).
+
+    ``interact=False``: the leading axis is an independent-SCENARIO batch,
+    not a fleet — skip the robot-pair planes entirely."""
+    multi = interact and (state.spline.shape[0] > 1 or axis_name is not None)
     if caches is not None:
         obs_cache, pair_cache = caches
         obstacle, ovf, obs_cache = jax.vmap(
@@ -407,11 +423,22 @@ def multi_admm_step(
     scene: Scene,
     coupled: bool,
     axis_name: str | None = None,
+    interact: bool = True,
 ) -> tuple[SolverState, StepDiag]:
     """One multi-robot ADMM iteration (coupled: Optimization3D_multi.h:120-174;
-    decoupled: :29-118)."""
+    decoupled: :29-118).
+
+    ``interact=False``: the leading axis is an independent-SCENARIO batch of
+    single-robot problems sharing one scene (no pair planes, no pair CCD) —
+    the TPU scenario-batching path.  Unlike a vmapped `admm_step`, the
+    batch-global predicates here keep every `lax.cond` a real branch (vmap
+    lowers batched conds to `select`, which executes BOTH sides — the
+    round-4 batch-throughput plateau), and the plane/CCD compaction pools
+    candidates across the whole batch."""
     with jax.default_matmul_precision("highest"):
-        return _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name)
+        return _multi_admm_step_impl(
+            consts, cfg, state, scene, coupled, axis_name, interact=interact
+        )
 
 
 def multi_admm_step_cached(
@@ -432,16 +459,20 @@ def multi_admm_step_cached(
         )
 
 
-def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name, caches=None):
+def _multi_admm_step_impl(
+    consts, cfg, state, scene, coupled, axis_name, caches=None, interact=True
+):
     # full-f32 matmul passes: bf16-pass Cholesky NaNs on ~1e6-condition KKTs
     u = state.spline.shape[0]
     u_total = u * (jax.lax.psum(1, axis_name) if axis_name else 1)
     if caches is not None:
         planes, plane_overflow, caches = _all_planes(
-            consts, cfg, state, scene, axis_name, caches
+            consts, cfg, state, scene, axis_name, caches, interact=interact
         )
     else:
-        planes, plane_overflow = _all_planes(consts, cfg, state, scene, axis_name)
+        planes, plane_overflow = _all_planes(
+            consts, cfg, state, scene, axis_name, interact=interact
+        )
     ls, red = _directions(consts, cfg, state, planes)
 
     if coupled:
@@ -548,7 +579,8 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name, caches=
         gnorm = _gsum(ls.gnorm, axis_name) / u_total
 
         ccd_steps = decoupled_ccd_steps(
-            consts, cfg, state.spline, directions, scene, axis_name
+            consts, cfg, state.spline, directions, scene, axis_name,
+            interact=interact,
         )
         step0 = jnp.where(
             state.piece_time + ccd_steps * dt <= 0,
@@ -603,9 +635,11 @@ def _multi_admm_step_impl(consts, cfg, state, scene, coupled, axis_name, caches=
     return state, diag
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "coupled"))
-def multi_admm_step_jit(consts, cfg, state, scene, coupled):
-    return multi_admm_step(consts, cfg, state, scene, coupled, axis_name=None)
+@functools.partial(jax.jit, static_argnames=("cfg", "coupled", "interact"))
+def multi_admm_step_jit(consts, cfg, state, scene, coupled, interact=True):
+    return multi_admm_step(
+        consts, cfg, state, scene, coupled, axis_name=None, interact=interact
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "coupled"))
