@@ -613,12 +613,17 @@ def _obstacle_levels_23(
         s_all1[:, -1] if k1 > s1 else jnp.full((w,), jnp.inf, dtype)
     )
 
-    # --- level 2: full k-DOP limits on the S1 candidates -----------------
+    # --- level 2: EXACT per-vertex k-DOP limits on the S1 candidates -----
+    # The swept bound hi_a(s) = max_n(hp_n + s*dp_n) is exact per vertex; the
+    # axis certifies "point above hull" for s below min_n of the per-vertex
+    # limits (and symmetrically below) — strictly tighter than the
+    # interval-speed (sum-of-maxes) bound whenever the extreme position and
+    # extreme velocity come from different vertices, which is exactly the
+    # congested mid-solve regime where CCD was measured step-binding.
+    # [W,S1,n,D] intermediates are small on the compacted danger set.
     ax = _axes(dtype)
     hp = hull_f @ ax.T                                   # [W,n,D]
     dp = dhull_f @ ax.T
-    lo0, hi0 = _interval(hp)                             # [W,D]
-    spd_hi, spd_lo = _hull_speed(dp)
     # gather 3-wide point rows and project inline (explicit 3-term sum, NOT
     # a K=3 matmul and NOT a [N,D]-row gather — both measured far slower
     # than this fused elementwise broadcast on TPU)
@@ -628,15 +633,11 @@ def _obstacle_levels_23(
         + sel_pts1[..., 1:2] * ax[:, 1]
         + sel_pts1[..., 2:3] * ax[:, 2]
     )                                                    # [W,S1,D]
-    g_hi = sel_proj - hi0[:, None, :] - offset
-    g_lo = lo0[:, None, :] - sel_proj - offset
-    s_kd = jnp.max(
-        jnp.maximum(
-            _side_limit(g_hi, spd_hi[:, None, :]),
-            _side_limit(g_lo, spd_lo[:, None, :]),
-        ),
-        axis=-1,
-    )                                                    # [W,S1]
+    g1 = sel_proj[:, :, None, :] - hp[:, None] - offset  # [W,S1,n,D]
+    side1 = jnp.min(_side_limit(g1, dp[:, None]), axis=-2)
+    g2 = hp[:, None] - sel_proj[:, :, None, :] - offset
+    side2 = jnp.min(_side_limit(g2, -dp[:, None]), axis=-2)
+    s_kd = jnp.max(jnp.maximum(side1, side2), axis=-1)   # [W,S1]
     # both certificates are sound; keep the tighter (k-DOP >= AABB up to
     # the shared conservative speed bound, but max is safe regardless)
     s_kd = jnp.maximum(jnp.maximum(s_kd, 0.0), s3_sel)
@@ -651,14 +652,38 @@ def _obstacle_levels_23(
     )
     idx2 = jnp.take_along_axis(idx1, loc, axis=-1)       # [W,S2] cloud ids
 
-    # --- level 3: GJK + Lipschitz refinement of the S2 slots -------------
+    # --- level 3: GJK + DIRECTIONAL Lipschitz refinement of the S2 slots -
     def refine(_):
         sel_pts = points[idx2]                           # [W,S2,3]
         diff = (hull_f[:, None] - sel_pts[..., None, :]).reshape(-1, n, 3)
-        dist0 = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
-        dist0 = dist0.reshape(idx2.shape)
+        hd = geo.batched_origin_dist(diff, gjk_iters, pallas)
+        dist0 = hd.lb.reshape(idx2.shape)
         disp = _disp_norm(dhull_f)                       # [W]
         s_ref = (dist0 - offset) / jnp.maximum(disp[:, None], 1e-12)
+        # directional bound: for any unit c, dist(s) >= min_n(u_n . c)
+        #                                            + s * min_n(dd_n . c)
+        # (support-function certificate; u_n the diffset vertices, dd_n
+        # their velocities).  With c = the GJK witness direction the first
+        # term ~= dist0 and the RATE is the velocity component along the
+        # separation normal — near zero for tangential (crossing) motion,
+        # where the isotropic |dd|-rate bound forced the tiny mid-solve
+        # steps (Step.h's per-trial exact GJKCCD has the same tightness).
+        # Sound for ANY unit c, so a degenerate witness only loses
+        # tightness (L ~ 0 < offset disables the bound), never safety.
+        vn = jnp.sqrt(jnp.sum(hd.v**2, axis=-1))
+        c = hd.v / jnp.maximum(vn, 1e-12)[:, None]       # [W*S2,3]
+        lcert = jnp.min(jnp.einsum("bnd,bd->bn", diff, c), axis=-1)
+        dd = jnp.broadcast_to(
+            dhull_f[:, None], idx2.shape + (n, 3)
+        ).reshape(-1, n, 3)
+        rate = -jnp.min(jnp.einsum("bnd,bd->bn", dd, c), axis=-1)
+        s_dir = jnp.where(
+            rate > 0,
+            (lcert - offset) / jnp.maximum(rate, 1e-12),
+            jnp.inf,
+        )
+        s_dir = jnp.where(lcert > offset, s_dir, -jnp.inf)
+        s_ref = jnp.maximum(s_ref, s_dir.reshape(idx2.shape))
         return jnp.maximum(s_sel, jnp.maximum(s_ref, 0.0))
 
     # GJK runs only when it can matter (some selected limit below the full
@@ -796,7 +821,7 @@ def _pair_levels_23(
         else jnp.full(s_all.shape[:-1], jnp.inf, dtype)
     )
 
-    # --- level 3: GJK + Lipschitz on the S2 slots ------------------------
+    # --- level 3: GJK + DIRECTIONAL Lipschitz on the S2 slots ------------
     def refine(_):
         # slice the already-gathered K1 hulls down to the S2 slots
         sel_hulls = jnp.take_along_axis(
@@ -809,10 +834,32 @@ def _pair_levels_23(
             my_hulls[:, :, :, None, :, None, :]
             - sel_hulls[:, :, :, :, None, :, :]
         ).reshape(-1, n * n, 3)
-        dist0 = geo.batched_origin_dist(diff, gjk_iters, pallas).lb
-        dist0 = dist0.reshape(loc.shape)
+        hd = geo.batched_origin_dist(diff, gjk_iters, pallas)
+        dist0 = hd.lb.reshape(loc.shape)
         disp = _disp_norm(my_dhulls)[..., None] + _disp_norm(sel_dhulls)
         s_ref = (dist0 - offset) / jnp.maximum(disp, 1e-12)
+        # directional bound along the GJK witness (see the obstacle-level
+        # comment): diffset vertices move at (da_i - db_j), so the decrease
+        # rate along c is max_j(db_j . c) - min_i(da_i . c) — near zero for
+        # the tangential crossing motion that dominates pair congestion.
+        vn = jnp.sqrt(jnp.sum(hd.v**2, axis=-1))
+        c = (hd.v / jnp.maximum(vn, 1e-12)[:, None]).reshape(
+            loc.shape + (3,)
+        )                                                # [U,P,R,S2,3]
+        lcert = jnp.min(
+            jnp.einsum("uprsmd,uprsd->uprsm", diff.reshape(loc.shape + (n * n, 3)), c),
+            axis=-1,
+        )
+        da_c = jnp.einsum("uprnd,uprsd->uprsn", my_dhulls, c)
+        db_c = jnp.einsum("uprsnd,uprsd->uprsn", sel_dhulls, c)
+        rate = jnp.max(db_c, axis=-1) - jnp.min(da_c, axis=-1)
+        s_dir = jnp.where(
+            rate > 0,
+            (lcert - offset) / jnp.maximum(rate, 1e-12),
+            jnp.inf,
+        )
+        s_dir = jnp.where(lcert > offset, s_dir, -jnp.inf)
+        s_ref = jnp.maximum(s_ref, s_dir)
         return jnp.maximum(s_sel, jnp.maximum(s_ref, 0.0))
 
     s_ref = jax.lax.cond(
