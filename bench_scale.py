@@ -196,10 +196,12 @@ def run_batched(batch: int, uav_num: int = 4, n_points: int = 2000,
     )
     states = jax.vmap(lambda d: state0._replace(spline=state0.spline + d))(deltas)
 
-    fn = jax.jit(jax.vmap(
-        lambda s: driver.solve_fused_multi.__wrapped__(
-            consts, cfg, s, scene, coupled=True, max_iters=iters
-        )
+    # grouped fleet batching (driver.solve_fused_batch_multi): B independent
+    # coupled fleets in one fused loop — scenario-block pair masks, per-group
+    # Schur/CCD/Armijo reductions, real (non-vmapped) cond staging
+    fn = jax.jit(functools.partial(
+        driver.solve_fused_batch_multi, consts, cfg, scene=scene,
+        coupled=True, max_iters=iters,
     ))
     out = fn(states)
     jax.block_until_ready(out[0])
@@ -272,15 +274,32 @@ def main() -> None:
         print(json.dumps(r), flush=True)
     for b in ([4] if args.quick else [4, 16]):
         r = run_batched(b)
+        # AGGREGATE semantics: iters_per_s sums ADMM iterations across all
+        # `batch` independent fleet problems advancing in lockstep on one
+        # chip; the denominator is the C++ single-thread 4-robot coupled
+        # row (816.1 it/s) solving ONE problem — i.e. chip-vs-core
+        # throughput, not per-problem latency.
+        key = (r["uav_num"], "coupled", None)
+        if key in ref:
+            r["ref_iters_per_s"] = ref[key]
+            r["vs_baseline"] = round(r["iters_per_s"] / ref[key], 3)
+        r["aggregate_semantics"] = (
+            f"sum of iters across {b} independent {r['uav_num']}-robot "
+            "coupled problems per second vs one C++ thread solving one"
+        )
         results.append(r)
         print(json.dumps(r), flush=True)
-    for b in ([16] if args.quick else [16, 64, 256]):
+    for b in ([16] if args.quick else [16, 64, 256, 1024]):
         r = run_batched_single(b)
         # aggregate-throughput comparison vs the C++ single-UAV p4 row
         key = (None, "single", r["pieces"])
         if key in ref:
             r["ref_iters_per_s"] = ref[key]
             r["vs_baseline"] = round(r["iters_per_s"] / ref[key], 3)
+        r["aggregate_semantics"] = (
+            f"sum of iters across {b} independent single-UAV p{r['pieces']} "
+            "problems per second vs one C++ thread solving one"
+        )
         results.append(r)
         print(json.dumps(r), flush=True)
 

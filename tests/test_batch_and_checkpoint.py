@@ -84,6 +84,40 @@ def test_solve_fused_batch_matches_individual():
         )
 
 
+def test_solve_fused_batch_multi_matches_individual():
+    """Grouped COUPLED fleet batching (driver.solve_fused_batch_multi): B
+    independent coupled fleets in one call must match per-fleet coupled
+    solves — scenario-block pair masks + per-group Schur/CCD/Armijo."""
+    import jax.numpy as jnp
+
+    from trajopt_tpu.solver import multi as multi_mod
+
+    cfg, consts, scene, state = _multi_cross_problem()
+    B = 3
+    rng = np.random.default_rng(1)
+    deltas = jnp.asarray(
+        rng.normal(scale=1e-3, size=(B,) + state.spline.shape),
+        state.spline.dtype,
+    )
+    states = jax.vmap(lambda d: state._replace(spline=state.spline + d))(deltas)
+    out, it, g = driver.solve_fused_batch_multi(
+        consts, cfg, states, scene, coupled=True, max_iters=5
+    )
+    for i in range(B):
+        si = jax.tree.map(lambda x: x[i], states)
+        ref, *_ = driver.solve_fused_multi(
+            consts, cfg, si, scene, coupled=True, max_iters=5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.spline[i]), np.asarray(ref.spline),
+            rtol=1e-8, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.piece_time[i]), np.asarray(ref.piece_time),
+            rtol=1e-8,
+        )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg, ops, consts, bstate, bscene, states, scenes = make_batch(n_scen=1)
     state = states[0]

@@ -204,3 +204,45 @@ def test_multi_solver_runs_with_optimal_plane():
         consts, cfg, state, scene, coupled=True, max_iters=60
     )
     assert hist[-1]["gnorm"] < cfg.stop
+
+
+def test_fused_multi_cached_matches_host_loop():
+    """The fused device loop with carried caches (driver.
+    solve_fused_multi_cached) must match the host loop step-for-step —
+    closing the round-4 gap where the fused path silently ran cache-less
+    under optimal_plane=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from trajopt_tpu.solver import multi as multi_mod
+
+    cfg = TrajOptConfig(
+        res=2, max_planes=4, max_self_planes=2, max_ccd_candidates=4,
+        ks=1e-3, optimal_plane=True,
+    )
+    wps = []
+    for i in range(2):
+        sgn = 1 if i % 2 == 0 else -1
+        s = np.array([sgn * 3.0, 0.0, 0.26 * i])
+        e = np.array([-sgn * 3.0, 0.0, 0.26 * i])
+        t = np.linspace(0, 1, 4)[:, None]
+        wps.append(s * (1 - t) + e * t)
+    ops = sp.build_spline_ops(3, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(np.full((8, 3), 100.0))
+    state0 = multi_mod.init_multi_state(ops, wps, cfg.init_piece_time)
+
+    ref, hist = driver.solve_multi(
+        consts, cfg, state0, scene, coupled=True, max_iters=6
+    )
+    caches = multi_mod.init_multi_caches(cfg, consts, 2, state0.spline.dtype)
+    fused, it, gnorm, caches = driver.solve_fused_multi_cached(
+        consts, cfg, state0, scene, True, caches, max_iters=6
+    )
+    assert int(it) == len(hist)
+    np.testing.assert_allclose(
+        np.asarray(fused.spline), np.asarray(ref.spline), rtol=1e-9, atol=1e-10
+    )
+    # cache keys live where the final plane table is live
+    obs_cache, pair_cache = caches
+    assert int(np.asarray(pair_cache.partner >= 0).sum()) > 0

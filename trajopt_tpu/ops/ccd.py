@@ -268,7 +268,8 @@ class PairCCD:
 
 
 def build_pair_ccd(
-    my_hulls, my_dhulls, all_hulls, all_dhulls, gids, k_gjk: int
+    my_hulls, my_dhulls, all_hulls, all_dhulls, gids, k_gjk: int,
+    groups: int = 1,
 ) -> PairCCD:
     """``my_*``: [U,P,R,n,3] local robots; ``all_*``: [Ut,...] gathered fleet;
     ``gids``: [U] global ids of the local robots (for self-pair exclusion)."""
@@ -276,7 +277,11 @@ def build_pair_ccd(
     my_hp, my_dp = my_hulls @ ax.T, my_dhulls @ ax.T
     all_hp, all_dp = all_hulls @ ax.T, all_dhulls @ ax.T
     ut = all_hulls.shape[0]
-    not_self = gids[:, None] != jnp.arange(ut, dtype=gids.dtype)[None, :]
+    other = jnp.arange(ut, dtype=gids.dtype)[None, :]
+    not_self = gids[:, None] != other
+    if groups > 1:
+        upg = ut // groups
+        not_self = not_self & ((gids[:, None] // upg) == (other // upg))
     return PairCCD(
         my_hull=my_hulls, my_dhull=my_dhulls,
         my_hp=my_hp, my_dp=my_dp,
@@ -706,7 +711,7 @@ def _obstacle_levels_23(
 def pair_max_step_direct(
     my_hulls, my_dhulls, all_hulls, all_dhulls, gids,
     offset, gjk_iters, pallas,
-    k_partners: int = 8, n_slots: int = 8,
+    k_partners: int = 8, n_slots: int = 8, groups: int = 1,
 ) -> jnp.ndarray:
     """[U] largest provably safe COMMON step per robot vs every other robot
     (`Step::couple_self_step` semantics) — bounded-cost variant of
@@ -723,7 +728,12 @@ def pair_max_step_direct(
     u, p, r, n, _ = my_hulls.shape
     ut = all_hulls.shape[0]
     dtype = my_hulls.dtype
-    not_self = gids[:, None] != jnp.arange(ut, dtype=gids.dtype)[None, :]
+    other = jnp.arange(ut, dtype=gids.dtype)[None, :]
+    not_self = gids[:, None] != other
+    if groups > 1:
+        # scenario-grouped fleet: only same-group robots constrain each other
+        upg = ut // groups
+        not_self = not_self & ((gids[:, None] // upg) == (other // upg))
 
     # --- level 1: 3-axis pair limits for every (segment, partner) --------
     lo3_a = my_hulls.min(axis=-2); hi3_a = my_hulls.max(axis=-2)   # [U,P,R,3]

@@ -292,7 +292,9 @@ def solve_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "coupled", "max_iters", "axis_name", "interact"),
+    static_argnames=(
+        "cfg", "coupled", "max_iters", "axis_name", "interact", "groups"
+    ),
 )
 def solve_fused_multi(
     consts: SplineConsts,
@@ -303,6 +305,7 @@ def solve_fused_multi(
     max_iters: int = 200,
     axis_name: str | None = None,
     interact: bool = True,
+    groups: int = 1,
 ) -> tuple[SolverState, jnp.ndarray, jnp.ndarray]:
     """Entire multi-robot solve as one device-side while_loop (zero host
     round-trips — the production serving path; under shard_map pass the mesh
@@ -320,7 +323,7 @@ def solve_fused_multi(
         state, it, gnorm = carry
         state, diag = multi_mod.multi_admm_step(
             consts, cfg, state, scene, coupled=coupled, axis_name=axis_name,
-            interact=interact,
+            interact=interact, groups=groups,
         )
         return state, it + 1, diag.gnorm
 
@@ -329,6 +332,47 @@ def solve_fused_multi(
         (state, jnp.asarray(0), jnp.asarray(jnp.inf, state.piece_time.dtype)),
     )
     return state, it, gnorm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "coupled", "max_iters", "axis_name")
+)
+def solve_fused_multi_cached(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,          # leading robot axis U on all leaves
+    scene: Scene,
+    coupled: bool,
+    caches,                      # (obstacle PlaneCache [U,...], PairPlaneCache)
+    max_iters: int = 200,
+    axis_name: str | None = None,
+) -> tuple[SolverState, jnp.ndarray, jnp.ndarray, object]:
+    """`solve_fused_multi` with the persistent optimal_plane=1 caches carried
+    through the device loop (reference semantics: the plane tables accumulate
+    across the WHOLE run, Optimization3D_multi.h:278-327 — round-4 review
+    flagged the fused path silently running cache-less).
+
+    Returns (state, iterations_run, final_gnorm, caches).
+    """
+    from . import multi as multi_mod
+
+    def cond(carry):
+        state, it, gnorm, caches = carry
+        return (it < max_iters) & ((it <= 1) | (gnorm >= cfg.stop))
+
+    def body(carry):
+        state, it, gnorm, caches = carry
+        state, diag, caches = multi_mod.multi_admm_step_cached(
+            consts, cfg, state, scene, coupled, caches, axis_name=axis_name
+        )
+        return state, it + 1, diag.gnorm, caches
+
+    state, it, gnorm, caches = jax.lax.while_loop(
+        cond, body,
+        (state, jnp.asarray(0),
+         jnp.asarray(jnp.inf, state.piece_time.dtype), caches),
+    )
+    return state, it, gnorm, caches
 
 
 def solve_fused_batch(
@@ -358,3 +402,35 @@ def solve_fused_batch(
         consts, cfg, states, scene, coupled=False, max_iters=max_iters,
         interact=False,
     )
+
+
+def solve_fused_batch_multi(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    states: SolverState,         # leading [B, U] scenario x robot axes
+    scene: Scene,
+    coupled: bool = True,
+    max_iters: int = 200,
+) -> tuple[SolverState, jnp.ndarray, jnp.ndarray]:
+    """Scenario-batched MULTI-robot solves sharing one scene: B independent
+    U-robot fleets advanced in lockstep in one fused device loop.
+
+    The [B, U] axes flatten into one grouped fleet (``groups=B``): pair
+    planes and pair CCD are masked scenario-block-diagonal, and in coupled
+    mode the shared-time Schur sums / joint CCD min / joint Armijo become
+    per-group reductions (`solver.multi._coupled_grouped_update`) — per-group
+    math identical to a standalone coupled solve.  Same rationale as
+    `solve_fused_batch`: no vmapped conds, batch-pooled compaction.
+
+    Returns (states [B, U, ...], iterations_run, final_mean_gnorm).
+    """
+    b, u = states.spline.shape[:2]
+    flat = jax.tree.map(
+        lambda x: x.reshape((b * u,) + x.shape[2:]), states
+    )
+    out, it, gnorm = solve_fused_multi(
+        consts, cfg, flat, scene, coupled=coupled, max_iters=max_iters,
+        groups=b,
+    )
+    out = jax.tree.map(lambda x: x.reshape((b, u) + x.shape[1:]), out)
+    return out, it, gnorm

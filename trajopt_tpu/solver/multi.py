@@ -79,6 +79,7 @@ def self_planes(
     splines: jnp.ndarray,          # [U,T,3] local robots
     axis_name: str | None = None,
     cache=None,
+    groups: int = 1,
 ) -> tuple[Planes, jnp.ndarray] | tuple[Planes, jnp.ndarray, "PairPlaneCache"]:
     """Per-robot plane tables against every other robot's segment hull.
 
@@ -108,8 +109,13 @@ def self_planes(
     )                                                               # [U,Ut,P,R,3]
     d2 = jnp.sum(gap * gap, axis=-1)                                # [U,Ut,P,R]
     gids = _robot_offset(u_local, axis_name) + jnp.arange(u_local, dtype=jnp.int32)
-    is_self = gids[:, None] == jnp.arange(u_total, dtype=jnp.int32)[None, :]
-    d2 = jnp.where(is_self[:, :, None, None], jnp.inf, d2)
+    other = jnp.arange(u_total, dtype=jnp.int32)[None, :]
+    excluded = gids[:, None] == other
+    if groups > 1:
+        # scenario-grouped fleet: robots only interact within their group
+        upg = u_total // groups
+        excluded = excluded | ((gids[:, None] // upg) != (other // upg))
+    d2 = jnp.where(excluded[:, :, None, None], jnp.inf, d2)
     d2 = jnp.moveaxis(d2, 1, -1)                                    # [U,P,R,Ut]
     nf = u_local * consts.piece_num * consts.res * ks
     budget = min(nf, cfg.self_plane_gjk_budget)
@@ -245,7 +251,7 @@ def self_planes(
 # ---------------------------------------------------------------------------
 
 
-def _build_ccd(consts, cfg, splines, directions, scene, axis_name):
+def _build_ccd(consts, cfg, splines, directions, scene, axis_name, groups=1):
     """Robot-pair CCD tables for the decoupled per-robot-step fixpoint
     (ops/ccd.py::pair_bad — sound for every pair).  The obstacle and coupled
     paths use the table-free `*_max_step_direct` functions instead."""
@@ -257,7 +263,7 @@ def _build_ccd(consts, cfg, splines, directions, scene, axis_name):
     gids = _robot_offset(u_local, axis_name) + jnp.arange(u_local, dtype=jnp.int32)
     ks = min(cfg.max_self_planes, max(all_hulls.shape[0] - 1, 1))
     pair = ccd_ops.build_pair_ccd(
-        my_hulls, my_dhulls, all_hulls, all_dhulls, gids, ks
+        my_hulls, my_dhulls, all_hulls, all_dhulls, gids, ks, groups=groups
     )
     return None, pair
 
@@ -271,12 +277,16 @@ def _self_collision(cfg, pair_tabs, my_steps, all_steps):
     )
 
 
-def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
+def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name,
+                     groups: int = 1):
     """One fleet-wide scalar step (Step::couple_self_step + per-robot
     position_step min-reduce, Optimization3D_multi.h:586-594): the
     three-level analytic per-pair max-step (ops/ccd.py::*_direct)
     min-reduced over the fleet in a single certification pass, floored to
-    the 0.8^k rung lattice."""
+    the 0.8^k rung lattice.
+
+    ``groups > 1``: the fleet is ``groups`` independent coupled problems —
+    per-GROUP min and rung floor, returning [groups]."""
     u_local = splines.shape[0]
     my_hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(splines)
     my_dhulls = jax.vmap(lambda s: en.seg_cps(consts, s))(directions)
@@ -293,14 +303,18 @@ def coupled_ccd_step(consts, cfg, splines, directions, scene, axis_name):
         my_hulls, my_dhulls, all_hulls, all_dhulls, gids, cfg.offset,
         cfg.gjk_iters, pallas,
         k_partners=max(1, 2 * cfg.max_self_planes),
-        n_slots=cfg.ccd_pair_gjk_slots,
+        n_slots=cfg.ccd_pair_gjk_slots, groups=groups,
     )
-    s = _gmin(jnp.minimum(s_obs, s_pair), axis_name)
+    s_r = jnp.minimum(s_obs, s_pair)                      # [U] per robot
+    if groups > 1:
+        s_g = jnp.min(s_r.reshape(groups, -1), axis=1)    # [G]
+        return jax.vmap(lambda s: admm.rung_floor(cfg, s))(s_g)
+    s = _gmin(s_r, axis_name)
     return admm.rung_floor(cfg, s)
 
 
 def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name,
-                        interact=True):
+                        interact=True, groups=1):
     """Per-robot steps: pairwise self-shrink then obstacle min
     (Optimization3D_multi.h:74-83).  The obstacle part tests the ladder in
     parallel per robot; the pairwise part stays a fixpoint loop because the
@@ -314,7 +328,7 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name,
         bad = jnp.zeros((u,), bool)
     else:
         _, pair_tabs = _build_ccd(
-            consts, cfg, splines, directions, scene, axis_name
+            consts, cfg, splines, directions, scene, axis_name, groups=groups
         )
 
         def cond(carry):
@@ -359,7 +373,7 @@ def decoupled_ccd_steps(consts, cfg, splines, directions, scene, axis_name,
 
 
 def _all_planes(consts, cfg, state, scene, axis_name, caches=None,
-                interact=True):
+                interact=True, groups=1):
     """Fleet plane tables: (planes [U,...], overflow bool[, new caches]).
 
     ``caches``: optional (obstacle PlaneCache [U,...], PairPlaneCache) pair —
@@ -377,7 +391,8 @@ def _all_planes(consts, cfg, state, scene, axis_name, caches=None,
         overflow = jnp.any(ovf)
         if multi:
             slf, self_ovf, pair_cache = self_planes(
-                consts, cfg, state.spline, axis_name, cache=pair_cache
+                consts, cfg, state.spline, axis_name, cache=pair_cache,
+                groups=groups,
             )
             planes = jax.vmap(concat_planes)(obstacle, slf)
             return planes, overflow | self_ovf, (obs_cache, pair_cache)
@@ -393,7 +408,9 @@ def _all_planes(consts, cfg, state, scene, axis_name, caches=None,
             consts, cfg, state.spline, scene
         )
     if multi:
-        slf, self_ovf = self_planes(consts, cfg, state.spline, axis_name)
+        slf, self_ovf = self_planes(
+            consts, cfg, state.spline, axis_name, groups=groups
+        )
         return jax.vmap(concat_planes)(obstacle, slf), overflow | self_ovf
     return obstacle, overflow
 
@@ -416,6 +433,106 @@ def _directions(consts, cfg, state, planes):
     return kkt.local_solve(red), red
 
 
+def _coupled_grouped_update(consts, cfg, state, planes, ls, red, scene, groups):
+    """Coupled spline update for a GROUPED fleet: ``groups`` independent
+    coupled problems of u/groups robots each, advanced in lockstep in one
+    call (the scenario-batched serving path for coupled fleets).  All the
+    fleet-wide reductions of the groups=1 branch — shared-time Schur sums,
+    joint CCD min, joint Armijo energies — become per-group segment sums;
+    the ladder predicates stay batch-GLOBAL scalars so the `lax.cond`
+    staging remains a real branch (see `driver.solve_fused_batch`).
+    Math per group is identical to Optimization3D_multi.h:508-639.
+    """
+    u = state.spline.shape[0]
+    upg = u // groups
+    g = groups
+
+    def gsum(x):                                         # [U] -> [G]
+        return jnp.sum(x.reshape(g, upg), axis=1)
+
+    def rep(x):                                          # [G] -> [U]
+        return jnp.repeat(x, upg, total_repeat_length=u)
+
+    s_tot = gsum(ls.schur_s)
+    r_tot = gsum(ls.schur_r)
+    ds, dt = kkt.finish_direction(ls, rep(s_tot), rep(r_tot))
+    rs, rt_local, ainv_rs = kkt.correct_direction(red, ls, ds, dt)
+    rt_tot = gsum(rt_local)
+    br = gsum(jnp.einsum("ui,ui->u", red.b, ainv_rs))
+    s_safe = jnp.maximum(s_tot, 1e-5 * jnp.maximum(jnp.abs(s_tot), 1.0))
+    cdt = -(rt_tot - br) / s_safe                        # [G]
+    ds = ds + (-ainv_rs - rep(cdt)[:, None] * ls.ainv_b)
+    dt = dt + rep(cdt)
+    gt_g = gsum(red.gt)                                  # [G]
+    dt_g = dt.reshape(g, upg)[:, 0]
+    wolfe = -(gsum(jnp.einsum("ui,ui->u", ds, red.gs)) + dt_g * gt_g)  # [G]
+    finite = (
+        jnp.isfinite(wolfe)
+        & jnp.all(jnp.isfinite(ds.reshape(g, -1)), axis=1)
+        & jnp.isfinite(dt_g)
+    )
+    bad = ~finite | ~(wolfe > 0)                         # [G]
+    ds = jnp.where(rep(bad)[:, None], -red.gs, ds)
+    dt = jnp.where(rep(bad), -rep(gt_g), dt)
+    wolfe = jnp.where(bad, gsum(jnp.sum(red.gs**2, axis=1)) + gt_g**2, wolfe)
+    dt_g = dt.reshape(g, upg)[:, 0]
+    directions = jax.vmap(lambda d: kkt.spread_direction(consts, d))(ds)
+    # mean per-group gnorm (decoupled-mean semantics across the batch)
+    gn_g = jnp.sqrt(gsum(jnp.sum(red.gs**2, axis=1)) + gt_g**2) / upg
+    gnorm = jnp.mean(gn_g)
+
+    step0 = coupled_ccd_step(
+        consts, cfg, state.spline, directions, scene, None, groups=g
+    )                                                    # [G]
+    t0_g = state.piece_time.reshape(g, upg)[:, 0]
+    step0 = jnp.where(t0_g + step0 * dt_g <= 0, -0.95 * t0_g / dt_g, step0)
+
+    def group_energy(step_g):                            # [G] -> [G]
+        def per_robot(st, pl, d, s, dtt):
+            ev = en.spline_energy(
+                consts, cfg, st, pl,
+                spline=st.spline + s * d,
+                piece_time=st.piece_time + s * dtt,
+            )
+            return jnp.where(
+                ev.infeasible | jnp.isnan(ev.value), jnp.inf, ev.value
+            )
+
+        e_u = jax.vmap(per_robot)(
+            state, planes, directions, rep(step_g), dt
+        )
+        return gsum(e_u)
+
+    e0 = group_energy(jnp.zeros((g,), state.spline.dtype))
+    e_step0 = group_energy(step0)
+    accept0 = e0 - _ARMIJO_C * wolfe * step0 >= e_step0  # [G]
+    ladder = admm.step_candidates(cfg, state.spline.dtype)[:, None] * step0[None, :]
+
+    def take0(_):
+        return step0, jnp.sum(e_step0)
+
+    def armijo_ladder(_):
+        ok, es = admm.staged_ladder_vals(
+            lambda sub: (
+                lambda es_: (e0 - _ARMIJO_C * wolfe * sub >= es_, es_)
+            )(jax.vmap(group_energy)(sub)),
+            ladder,
+        )                                                # [S,G]
+        ok = jnp.concatenate([ok[:-1], jnp.ones((1, g), bool)], axis=0)
+        i = admm._first_true(ok, axis=0)                 # [G]
+        sg = jnp.take_along_axis(ladder, i[None, :], axis=0)[0]
+        ea = jnp.sum(jnp.take_along_axis(es, i[None, :], axis=0)[0])
+        return sg, ea
+
+    step_g, e_acc = jax.lax.cond(
+        jnp.all(accept0), take0, armijo_ladder, operand=None
+    )
+    steps = rep(step_g)
+    spline = state.spline + steps[:, None, None] * directions
+    piece_time = state.piece_time + steps * dt
+    return spline, piece_time, steps, rep(step0), gnorm, e_acc
+
+
 def multi_admm_step(
     consts: SplineConsts,
     cfg: TrajOptConfig,
@@ -424,6 +541,7 @@ def multi_admm_step(
     coupled: bool,
     axis_name: str | None = None,
     interact: bool = True,
+    groups: int = 1,
 ) -> tuple[SolverState, StepDiag]:
     """One multi-robot ADMM iteration (coupled: Optimization3D_multi.h:120-174;
     decoupled: :29-118).
@@ -437,7 +555,8 @@ def multi_admm_step(
     candidates across the whole batch."""
     with jax.default_matmul_precision("highest"):
         return _multi_admm_step_impl(
-            consts, cfg, state, scene, coupled, axis_name, interact=interact
+            consts, cfg, state, scene, coupled, axis_name, interact=interact,
+            groups=groups,
         )
 
 
@@ -460,22 +579,32 @@ def multi_admm_step_cached(
 
 
 def _multi_admm_step_impl(
-    consts, cfg, state, scene, coupled, axis_name, caches=None, interact=True
+    consts, cfg, state, scene, coupled, axis_name, caches=None, interact=True,
+    groups=1,
 ):
     # full-f32 matmul passes: bf16-pass Cholesky NaNs on ~1e6-condition KKTs
     u = state.spline.shape[0]
     u_total = u * (jax.lax.psum(1, axis_name) if axis_name else 1)
     if caches is not None:
         planes, plane_overflow, caches = _all_planes(
-            consts, cfg, state, scene, axis_name, caches, interact=interact
+            consts, cfg, state, scene, axis_name, caches, interact=interact,
+            groups=groups,
         )
     else:
         planes, plane_overflow = _all_planes(
-            consts, cfg, state, scene, axis_name, interact=interact
+            consts, cfg, state, scene, axis_name, interact=interact,
+            groups=groups,
         )
     ls, red = _directions(consts, cfg, state, planes)
 
-    if coupled:
+    if coupled and groups > 1:
+        assert axis_name is None, "grouped coupled batching is single-shard"
+        spline, piece_time, steps, ccd_steps, gnorm, e_acc = (
+            _coupled_grouped_update(
+                consts, cfg, state, planes, ls, red, scene, groups
+            )
+        )
+    elif coupled:
         s_tot = _gsum(ls.schur_s, axis_name)
         r_tot = _gsum(ls.schur_r, axis_name)
         ds, dt = kkt.finish_direction(ls, s_tot, r_tot)   # batched; dt [U]
@@ -580,7 +709,7 @@ def _multi_admm_step_impl(
 
         ccd_steps = decoupled_ccd_steps(
             consts, cfg, state.spline, directions, scene, axis_name,
-            interact=interact,
+            interact=interact, groups=groups,
         )
         step0 = jnp.where(
             state.piece_time + ccd_steps * dt <= 0,
@@ -635,10 +764,14 @@ def _multi_admm_step_impl(
     return state, diag
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "coupled", "interact"))
-def multi_admm_step_jit(consts, cfg, state, scene, coupled, interact=True):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "coupled", "interact", "groups")
+)
+def multi_admm_step_jit(consts, cfg, state, scene, coupled, interact=True,
+                        groups=1):
     return multi_admm_step(
-        consts, cfg, state, scene, coupled, axis_name=None, interact=interact
+        consts, cfg, state, scene, coupled, axis_name=None, interact=interact,
+        groups=groups,
     )
 
 
