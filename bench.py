@@ -236,7 +236,11 @@ def main() -> None:
                 "solve_iters": solve_iters,
                 "final_gnorm": round(float(gnorm), 5),
                 "step_ms": round(step_ms, 3),
-                "phase_ms": phases,
+                # separately-jitted per-phase timings: their SUM exceeds the
+                # fused step_ms (each isolated phase pays its own dispatch +
+                # loses cross-phase fusion) — use for ranking only; op-level
+                # truth comes from a jax.profiler trace of the fused loop
+                "phase_ms_isolated": phases,
                 "step_flops": flops,
                 "mfu": mfu,
             }
