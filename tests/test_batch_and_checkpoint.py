@@ -1,5 +1,6 @@
 """Scenario batching (vmap over problems) and checkpoint/resume."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +32,7 @@ def make_batch(n_scen=4, n_pieces=3, res=2):
     return cfg, ops, consts, batch_state, batch_scene, states, scenes
 
 
+@pytest.mark.slow
 def test_vmapped_scenarios_match_individual():
     cfg, ops, consts, bstate, bscene, states, scenes = make_batch()
     stepped = jax.jit(
@@ -48,6 +50,7 @@ def test_vmapped_scenarios_match_individual():
         )
 
 
+@pytest.mark.slow
 def test_batched_fused_solve_converges():
     cfg, ops, consts, bstate, bscene, *_ = make_batch(n_scen=3)
     solve = jax.jit(
@@ -60,6 +63,7 @@ def test_batched_fused_solve_converges():
     assert (np.asarray(out_state.piece_time) > 0).all()
 
 
+@pytest.mark.slow
 def test_solve_fused_batch_matches_individual():
     """The batch-aware fused driver (multi machinery, interact=False) must
     match per-scenario `solve_fused` results — same math, different
@@ -84,6 +88,7 @@ def test_solve_fused_batch_matches_individual():
         )
 
 
+@pytest.mark.slow
 def test_solve_fused_batch_multi_matches_individual():
     """Grouped COUPLED fleet batching (driver.solve_fused_batch_multi): B
     independent coupled fleets in one call must match per-fleet coupled
@@ -171,6 +176,7 @@ def _multi_cross_problem(optimal_plane=False):
     return cfg, consts, scene, state
 
 
+@pytest.mark.slow
 def test_multi_resume_matches_uninterrupted(tmp_path):
     """Kill/resume for the multi-robot host loop (robot-batched state pytree
     checkpoints transparently — r2 verdict task 7)."""
@@ -193,6 +199,7 @@ def test_multi_resume_matches_uninterrupted(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_multi_resume_optimal_plane_caches(tmp_path):
     """optimal_plane=1 multi resume: the persistent obstacle + pair plane
     caches must survive the checkpoint (reference semantics: the

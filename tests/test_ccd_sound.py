@@ -59,6 +59,7 @@ class TestObstacleSoundness:
         bad_tiny = ccd_ops.obstacle_bad(tabs, jnp.asarray(1e-3), 0.1, 64, False)
         assert not bool(bad_tiny.any()), "safe tiny step wrongly flagged"
 
+    @pytest.mark.slow
     def test_certified_steps_are_truly_safe(self):
         """Property: any step the layer certifies keeps true clearance >
         offset for EVERY point (brute force), over random scenes."""
@@ -172,6 +173,7 @@ class TestLadderFreeze:
         step = admm.ccd_step(consts, cfg, state.spline, direction, scene)
         assert float(step) == 0.0
 
+    @pytest.mark.slow
     def test_decoupled_freeze_on_infeasible_pair(self):
         """Two robots whose hulls already overlap: per-robot decoupled CCD
         must freeze both at 0 after the shrink budget."""
@@ -199,6 +201,7 @@ class TestAnalyticMaxStep:
     pair_max_step + solver rung flooring): every returned step, swept over
     its whole interval, must keep true clearance > offset (brute force)."""
 
+    @pytest.mark.slow
     def test_obstacle_max_step_sound(self):
         from trajopt_tpu.config import TrajOptConfig
         from trajopt_tpu.solver import admm
@@ -227,6 +230,7 @@ class TestAnalyticMaxStep:
                     nontrivial += 1
         assert nontrivial > 0, "no shrunk-step case exercised"
 
+    @pytest.mark.slow
     def test_obstacle_max_step_escapes_near_contact(self):
         """A static point just above offset clearance (a k-DOP false positive
         regime) must yield a strictly positive step — the absorbing-state
@@ -253,6 +257,7 @@ class TestAnalyticMaxStep:
         dmin = brute_min_swept(hull, dhull, pt[None], s * 0.999)
         assert dmin > offset - 1e-9
 
+    @pytest.mark.slow
     def test_pair_max_step_sound(self):
         rng = np.random.default_rng(9)
         offset = 0.1
@@ -333,6 +338,7 @@ class TestAnalyticMaxStepDirect:
     offset — including with TINY candidate budgets, which exercises the
     robot-level (M+1)-th / partner (K+1)-th caps."""
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("s1_slots", [128, 4])
     def test_obstacle_direct_sound(self, s1_slots):
         rng = np.random.default_rng(7)
@@ -381,6 +387,7 @@ class TestAnalyticMaxStepDirect:
         dmin = brute_min_swept(hull, dhull, pt[None], min(s, 1.0) * 0.999)
         assert dmin > offset - 1e-9
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("k_partners", [8, 1])
     def test_pair_direct_sound(self, k_partners):
         from trajopt_tpu.ops import geometry as geo

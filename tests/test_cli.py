@@ -21,6 +21,7 @@ def workdir(tmp_path, monkeypatch):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_single_cli_smoke(workdir):
     rc = cli_single.main([
         "--scene", "sphere", "--n-points", "300", "--max-iters", "3",
@@ -35,6 +36,7 @@ def test_single_cli_smoke(workdir):
     assert len(recs) == 3 and "gnorm" in recs[0]
 
 
+@pytest.mark.slow
 def test_multi_cli_smoke_synthetic(workdir):
     rc = cli_multi.main([
         "--scene", "cross", "--uav-num", "2", "--n-pieces", "2",
@@ -47,6 +49,7 @@ def test_multi_cli_smoke_synthetic(workdir):
     assert "iter: 3" in out.read_text()
 
 
+@pytest.mark.slow
 def test_multi_cli_rrt_branch(workdir):
     """Mesh path with no init file => sequential RRT planning branch."""
     from trajopt_tpu.scenes import generators as gen
@@ -64,6 +67,7 @@ def test_multi_cli_rrt_branch(workdir):
     assert (workdir / "result" / "tiny.obj_result_file_admm.txt").exists()
 
 
+@pytest.mark.slow
 def test_multi_cli_mesh_devices(workdir):
     rc = cli_multi.main([
         "--scene", "cross", "--uav-num", "4", "--n-pieces", "2",

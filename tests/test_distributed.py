@@ -13,11 +13,13 @@ import os
 import subprocess
 import sys
 
+import pytest
 import numpy as np
 
 _WORKER = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
 
 
+@pytest.mark.slow
 def test_two_process_coupled_step_matches_single_process():
     port = 29300 + os.getpid() % 500
     env = {k: v for k, v in os.environ.items()

@@ -101,6 +101,7 @@ def _global_energy(consts, cfg, state, planes, free_flat, piece_time):
     return e.value
 
 
+@pytest.mark.slow
 def test_assembled_kkt_matches_global_autodiff(setup):
     ops, consts, cfg, state, planes = setup
     # activate some bound terms too
@@ -133,6 +134,7 @@ def test_assembled_kkt_matches_global_autodiff(setup):
     assert float(jnp.abs(red.gs).max()) > 0
 
 
+@pytest.mark.slow
 def test_newton_direction_solves_system(setup):
     ops, consts, cfg, state, planes = setup
     g, h = gr.piece_grads_and_hessians(
@@ -183,6 +185,7 @@ def test_slack_energy_vector_matches_local(setup):
         np.testing.assert_allclose(float(vec[p]), float(e), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_psd_repair_ladder_makes_pd():
     """Ladder repair must leave every block PD, keep PD blocks untouched, and
     over-shift by at most ~1.16x the needed shift (+ floor-rung + 0.01)."""
@@ -218,6 +221,7 @@ def test_psd_repair_ladder_makes_pd():
 
 
 
+@pytest.mark.slow
 def test_psd_repair_ladder_all_fail_degenerate():
     """Blocks where even H + Gershgorin*I is numerically singular must still
     come out PD (the 1.1*Gershgorin degeneracy bump — ADVICE r1 medium:
@@ -231,6 +235,7 @@ def test_psd_repair_ladder_all_fail_degenerate():
         assert (wmin > 0).all(), (c, wmin.min())
 
 
+@pytest.mark.slow
 def test_analytic_gh_matches_autodiff():
     """ops/gradients.py::analytic_spline_gh == jacfwd(grad) oracle at f64,
     with plane-barrier AND vel/acc-bound terms active."""

@@ -80,6 +80,7 @@ class TestDegenerateHulls:
     froze the 64-robot CCD and mis-measured clearances."""
 
     @pytest.mark.parametrize("seed", range(6))
+    @pytest.mark.slow
     def test_collinear_exact(self, seed):
         rng = np.random.default_rng(seed)
         a, b = rng.standard_normal(3), rng.standard_normal(3)
@@ -148,6 +149,7 @@ class TestHullHull:
 
 
 class TestObstaclePlane:
+    @pytest.mark.slow
     def test_plane_separates(self):
         rng = np.random.default_rng(3)
         for _ in range(10):
@@ -189,6 +191,7 @@ class TestKdop:
         assert ax.shape == (49, 3)
         np.testing.assert_allclose(np.linalg.norm(ax, axis=1), 1.0, atol=1e-12)
 
+    @pytest.mark.slow
     def test_lb_is_lower_bound(self):
         rng = np.random.default_rng(9)
         axes = jnp.asarray(geo.kdop_axes())
@@ -216,6 +219,7 @@ class TestCCD:
         )
         assert clear_half
 
+    @pytest.mark.slow
     def test_conservative_vs_sampling(self):
         """Accepted steps never pass closer than offset at sampled times."""
         rng = np.random.default_rng(17)

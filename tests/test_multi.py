@@ -74,6 +74,7 @@ def pairwise_min_clearance(consts, state):
 
 
 @pytest.mark.parametrize("coupled", [False, True])
+@pytest.mark.slow
 def test_two_robot_swap(coupled):
     cfg, ops, consts, scene, state = make_problem(uav_num=2)
     assert pairwise_min_clearance(consts, state) < cfg.offset + 2 * cfg.margin
@@ -92,6 +93,7 @@ def test_two_robot_swap(coupled):
         )
 
 
+@pytest.mark.slow
 def test_decoupled_with_obstacles():
     cfg, ops, consts, scene, state = make_problem(uav_num=2, with_obstacles=True)
     state, hist = driver.solve_multi(
@@ -101,6 +103,7 @@ def test_decoupled_with_obstacles():
     assert pairwise_min_clearance(consts, state) > cfg.offset - 1e-6
 
 
+@pytest.mark.slow
 def test_four_robots_coupled():
     cfg, ops, consts, scene, state = make_problem(uav_num=4)
     state, hist = driver.solve_multi(
@@ -140,6 +143,7 @@ def test_sixteen_robot_cross_coupled():
     assert pairwise_min_clearance(consts, state) > cfg.offset - 1e-6
 
 
+@pytest.mark.slow
 def test_fused_multi_matches_host_loop():
     """solve_fused_multi (device while_loop) == host-stepped solve_multi."""
     cfg, ops, consts, scene, state = make_problem(uav_num=2)
@@ -163,3 +167,33 @@ def test_fused_multi_matches_host_loop():
         rtol=1e-9,
     )
     assert np.isclose(float(gnorm), hist[-1]["gnorm"], rtol=1e-6)
+
+
+def test_multi_smoke_quick():
+    """Quick-tier smoke: a tiny coupled 2-robot step sequence must make
+    Newton progress with live pair planes and no NaNs (the full swap
+    integrations are `slow`; this keeps the multi path exercised in the
+    default tier)."""
+    cfg = TrajOptConfig(
+        res=2, max_planes=4, max_self_planes=2, max_ccd_candidates=4, ks=1e-3
+    )
+    n_pieces = 2
+    wps = []
+    for i in range(2):
+        sgn = 1 if i % 2 == 0 else -1
+        s = np.array([sgn * 3.0, 0.0, 0.26 * i])
+        e = np.array([-sgn * 3.0, 0.0, 0.26 * i])
+        t = np.linspace(0, 1, n_pieces + 1)[:, None]
+        wps.append(s * (1 - t) + e * t)
+    ops = sp.build_spline_ops(n_pieces, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(np.full((8, 3), 100.0))
+    state = multi.init_multi_state(ops, wps, cfg.init_piece_time)
+    state, hist = driver.solve_multi(
+        consts, cfg, state, scene, coupled=True, max_iters=8
+    )
+    assert np.isfinite(hist[-1]["gnorm"])
+    assert hist[-1]["gnorm"] < hist[1]["gnorm"]          # Newton progress
+    assert max(h["n_planes"] for h in hist) > 0          # pair planes live
+    assert max(h["step"] for h in hist) > 0
+    assert np.isfinite(np.asarray(state.spline)).all()

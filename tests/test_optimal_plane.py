@@ -1,6 +1,7 @@
 """Plane refinement (optimal_plane=1 path) vs the plain GJK plane."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from trajopt_tpu.config import TrajOptConfig
@@ -22,6 +23,7 @@ def barrier_energy(hull, point, c, d, margin):
     return e
 
 
+@pytest.mark.slow
 def test_refined_plane_not_worse():
     rng = np.random.default_rng(4)
     worse = 0
@@ -44,6 +46,7 @@ def test_refined_plane_not_worse():
     assert worse == 0
 
 
+@pytest.mark.slow
 def test_refined_pair_plane_not_worse():
     """self_optimal_cd equivalent: refined pair plane lowers (or keeps) the
     symmetric two-sided barrier energy vs the fresh mid-plane."""
@@ -78,6 +81,7 @@ def test_refined_pair_plane_not_worse():
     assert checked >= 4
 
 
+@pytest.mark.slow
 def test_solver_runs_with_optimal_plane():
     cfg = TrajOptConfig(res=2, max_planes=8, max_ccd_candidates=8, optimal_plane=True)
     cloud = gen.sphere_scene(200, radius=1.0, seed=1)
@@ -92,6 +96,7 @@ def test_solver_runs_with_optimal_plane():
     assert hist[-1]["gnorm"] < cfg.stop
 
 
+@pytest.mark.slow
 def test_plane_cache_warm_start_not_worse():
     """Persistent-cache refinement (CCDUtils.h:64-70 semantics): on a fixed
     state, iterated cached refinement reaches a barrier energy <= the fresh
@@ -141,6 +146,7 @@ def _pair_barrier(consts, cfg, state, planes) -> float:
     return float(np.sum(vals))
 
 
+@pytest.mark.slow
 def test_multi_pair_plane_cache_not_worse():
     """Multi-robot persistent pair-plane cache (Optimization3D_multi.h:278-327
     semantics): on a fixed fleet state, iterated cached refinement reaches a
@@ -181,6 +187,7 @@ def test_multi_pair_plane_cache_not_worse():
     assert e_cached <= e_fresh + 1e-6, (e_cached, e_fresh)
 
 
+@pytest.mark.slow
 def test_multi_solver_runs_with_optimal_plane():
     """solve_multi threads the persistent caches (optimal_plane=1) end-to-end."""
     from trajopt_tpu.solver import multi as multi_mod
@@ -206,6 +213,7 @@ def test_multi_solver_runs_with_optimal_plane():
     assert hist[-1]["gnorm"] < cfg.stop
 
 
+@pytest.mark.slow
 def test_fused_multi_cached_matches_host_loop():
     """The fused device loop with carried caches (driver.
     solve_fused_multi_cached) must match the host loop step-for-step —

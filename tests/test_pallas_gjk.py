@@ -28,6 +28,7 @@ def reference(u, iters=32):
 
 
 @pytest.mark.parametrize("n,m", [(5, 6), (130, 12), (64, 36)])
+@pytest.mark.slow
 def test_matches_pure_jax_bounds(n, m):
     rng = np.random.default_rng(n * 100 + m)
     u = rng.standard_normal((n, m, 3)).astype(np.float32) + np.array(
@@ -51,6 +52,7 @@ def test_matches_pure_jax_bounds(n, m):
             assert abs(float(got.dist[i]) - true) < 3e-2 + 0.7 * true
 
 
+@pytest.mark.slow
 def test_separated_pairs():
     rng = np.random.default_rng(0)
     a = rng.standard_normal((17, 6, 3)).astype(np.float32)
@@ -68,6 +70,7 @@ def test_separated_pairs():
 
 
 @pytest.mark.parametrize("n,m", [(5, 6), (130, 12), (40, 36)])
+@pytest.mark.slow
 def test_exact_kernel_matches_pure_jax(n, m):
     """gjk_exact_diffset (the production solver) vs origin_simplex_dist and
     the f64 brute oracle — including collinear (degenerate) sets."""

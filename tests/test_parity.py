@@ -48,6 +48,7 @@ def _assert_parity(got, ref):
 
 
 @pytest.mark.parametrize("mode", ["decoupled", "coupled"])
+@pytest.mark.slow
 def test_parity_4uav_cross(mode):
     from tools.parity_report import solve_multi_case
 
@@ -56,6 +57,7 @@ def test_parity_4uav_cross(mode):
     _assert_parity(got, ref)
 
 
+@pytest.mark.slow
 def test_parity_single_bridge_p4():
     from tools.parity_report import solve_single_case
 

@@ -43,6 +43,7 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.slow
 def test_sharded_step_matches_single_chip(n_dev):
     cfg, consts, scene, state = make_problem(uav_num=8)
     ref_state, ref_diag = multi_mod.multi_admm_step(
@@ -63,6 +64,7 @@ def test_sharded_step_matches_single_chip(n_dev):
     )
 
 
+@pytest.mark.slow
 def test_sharded_multi_iteration_run():
     """Several sharded steps keep state finite and consistent-time."""
     cfg, consts, scene, state = make_problem(uav_num=8)
@@ -75,6 +77,7 @@ def test_sharded_multi_iteration_run():
     np.testing.assert_allclose(pt, pt[0])  # shared time stays shared
 
 
+@pytest.mark.slow
 def test_2d_mesh_matches_vmapped_single_chip():
     """(scenario, robot) 2-D mesh == vmap of the single-chip step over
     scenarios: scenario axis carries no communication, robot collectives stay
@@ -106,6 +109,7 @@ def test_2d_mesh_matches_vmapped_single_chip():
     )
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoints():
     """The driver-facing entry points compile and run."""
     import sys
