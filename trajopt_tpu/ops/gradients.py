@@ -241,9 +241,19 @@ def analytic_spline_gh(
         # cp-cp block:  e2 s^2 uu^T + e1 s/vn (uu^T - I)
         cA = e2 * sv * sv + e1 * sv / vn
         cB = -e1 * sv / vn
+        # MXU shape: the rank-1 uu^T part is one batched [P, 18, RA]x[P, RA,
+        # 18] matmul of M1 = cA*basis_i*u_d against M2 = basis_q*u_e (the
+        # 5-operand einsum lowered to ~80 GFLOP/s VPU convolutions in the
+        # round-5 fused-step profile)
+        pnum, rr, aa, ncp = lin_basis.shape
+        m1 = jnp.einsum("pra,prai,prad->praid", cA, lin_basis, u)
+        m2 = jnp.einsum("praq,prae->praqe", lin_basis, u)
         h_cp = jnp.einsum(
-            "pra,prai,praq,prad,prae->pidqe", cA, lin_basis, lin_basis, u, u
-        ) + jnp.einsum(
+            "prax,pray->pxy",
+            m1.reshape(pnum, rr, aa, ncp * 3),
+            m2.reshape(pnum, rr, aa, ncp * 3),
+        ).reshape(pnum, ncp, 3, ncp, 3)
+        h_cp = h_cp + jnp.einsum(
             "pra,prai,praq,de->pidqe", cB, lin_basis, lin_basis, eye3
         )
         # cp-t block:  e2 (-s u)(f vn s/t) + e1 (f s/t) u
