@@ -282,3 +282,47 @@ def test_analytic_gh_matches_autodiff():
     )
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=1e-8, atol=1e-9)
+
+
+def test_trial_energy_matches_dense():
+    """The affine line-search tables (en.build_trial_tables/trial_energy)
+    must reproduce `spline_energy` at spline + s*direction for every rung —
+    same values and the same infeasibility semantics."""
+    import jax
+
+    from trajopt_tpu.ops import energies as en2
+    from trajopt_tpu.solver import admm as admm_mod
+
+    cfg = TrajOptConfig(res=2, max_planes=4, max_ccd_candidates=4, ks=1e-3)
+    rng = np.random.default_rng(3)
+    n_pieces = 3
+    wp = np.cumsum(rng.normal(size=(n_pieces + 1, 3)), axis=0) * 2.0
+    ops = sp.build_spline_ops(n_pieces, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(
+        np.asarray(wp[1] + rng.normal(scale=0.4, size=(64, 3)))
+    )
+    state = tt.init_state(ops, wp, cfg.init_piece_time)
+    planes, _ = admm_mod.separate_planes(consts, cfg, state.spline, scene)
+
+    direction = jnp.asarray(rng.normal(scale=0.05, size=state.spline.shape))
+    dt = jnp.asarray(-0.7)
+
+    # fleet-of-one layout for the tables
+    state_u = jax.tree.map(lambda x: x[None], state)
+    planes_u = jax.tree.map(lambda x: x[None], planes)
+    ttab = en2.build_trial_tables(
+        consts, cfg, state_u, planes_u, direction[None], dt[None]
+    )
+    for s in [0.0, 1e-3, 0.04, 0.21, 0.8, 1.0]:
+        ev = en2.spline_energy(
+            consts, cfg, state, planes,
+            spline=state.spline + s * direction,
+            piece_time=state.piece_time + s * dt,
+        )
+        dense = float(np.where(ev.infeasible, np.inf, float(ev.value)))
+        fast = float(en2.trial_energy(consts, cfg, ttab, jnp.asarray([s]))[0])
+        if np.isinf(dense) or np.isinf(fast):
+            assert np.isinf(dense) == np.isinf(fast), (s, dense, fast)
+        else:
+            np.testing.assert_allclose(fast, dense, rtol=1e-9, atol=1e-10)

@@ -231,3 +231,119 @@ def true_objective(
         "time": cfg.kt * consts.whole_weight * piece_time,
         "infeasible": pb.infeasible | bd.infeasible,
     }
+
+
+class TrialTables(NamedTuple):
+    """Per-iteration tables for O(elementwise) line-search energy evaluation.
+
+    Every quantity inside `spline_energy` is affine in the trial step s
+    (spline(s) = spline + s*direction, t(s) = t + s*dt), so the plane
+    distances d(s) = d0 + s*dd, the vel/acc control-polygon differences, and
+    the AL consensus terms (an exact quadratic a0 + a1 s + a2 s^2) can be
+    precomputed ONCE per iteration; each Armijo rung then costs a masked
+    elementwise pass — no per-rung hull/plane einsums (the einsums were the
+    ladder stages' cost in the round-5 fused-step profile).  All leaves carry
+    a leading robot axis U.
+    """
+
+    d0: jnp.ndarray      # [U,P,R,K,n] plane distances at s=0
+    dd: jnp.ndarray      # [U,P,R,K,n] their derivative in s
+    live: jnp.ndarray    # [U,P,R,K,1]
+    vel0: jnp.ndarray    # [U,P,R,n-1,3]
+    dvel: jnp.ndarray
+    acc0: jnp.ndarray    # [U,P,R,n-2,3]
+    dacc: jnp.ndarray
+    t0: jnp.ndarray      # [U]
+    dt: jnp.ndarray      # [U]
+    a0: jnp.ndarray      # [U] AL quadratic coefficients
+    a1: jnp.ndarray
+    a2: jnp.ndarray
+
+
+def build_trial_tables(
+    consts: SplineConsts,
+    cfg: TrajOptConfig,
+    state: SolverState,      # leaves [U,...]
+    planes: Planes,          # [U,P,R,K,...]
+    directions: jnp.ndarray, # [U,T,3]
+    dt: jnp.ndarray,         # [U]
+) -> TrialTables:
+    import jax
+
+    hull0 = jax.vmap(lambda s: seg_cps(consts, s))(state.spline)
+    dhull = jax.vmap(lambda s: seg_cps(consts, s))(directions)
+    d0 = (
+        jnp.einsum("uprjd,uprkd->uprkj", hull0, planes.c)
+        + planes.d[..., None]
+    )
+    dd = jnp.einsum("uprjd,uprkd->uprkj", dhull, planes.c)
+    n = consts.order
+    vel0 = n * jnp.diff(hull0, axis=3)
+    dvel = n * jnp.diff(dhull, axis=3)
+    acc0 = n * (n - 1) * jnp.diff(hull0, n=2, axis=3)
+    dacc = n * (n - 1) * jnp.diff(dhull, n=2, axis=3)
+
+    def al_coeffs(st, dirs, dtt):
+        c0 = jnp.einsum("pij,pjd->pid", consts.convert, piece_cps(consts, st.spline))
+        cd = jnp.einsum("pij,pjd->pid", consts.convert, piece_cps(consts, dirs))
+        d0_ = c0 - st.p_slack
+        td0 = st.piece_time - st.t_slack
+        a0 = (
+            cfg.mu / 2.0 * jnp.sum(d0_ * d0_)
+            + jnp.sum(st.p_lambda * d0_)
+            + cfg.mu / 2.0 * jnp.sum(td0 * td0)
+            + jnp.sum(st.t_lambda * td0)
+        )
+        a1 = (
+            cfg.mu * jnp.sum(d0_ * cd)
+            + jnp.sum(st.p_lambda * cd)
+            + cfg.mu * jnp.sum(td0) * dtt
+            + jnp.sum(st.t_lambda) * dtt
+        )
+        p_num = st.t_slack.shape[0]
+        a2 = cfg.mu / 2.0 * jnp.sum(cd * cd) + cfg.mu / 2.0 * p_num * dtt**2
+        return a0, a1, a2
+
+    a0, a1, a2 = jax.vmap(al_coeffs)(state, directions, dt)
+    return TrialTables(
+        d0=d0, dd=dd, live=planes.mask[..., None],
+        vel0=vel0, dvel=dvel, acc0=acc0, dacc=dacc,
+        t0=state.piece_time, dt=dt, a0=a0, a1=a1, a2=a2,
+    )
+
+
+def trial_energy(
+    consts: SplineConsts, cfg: TrajOptConfig, tt: TrialTables, s: jnp.ndarray
+) -> jnp.ndarray:
+    """[U] spline AL energies at per-robot steps ``s`` ([U] or scalar),
+    +inf where infeasible — elementwise from the precomputed tables;
+    identical values to `spline_energy` at spline + s*direction up to f32
+    reassociation (d0 + s*dd vs (hull0 + s*dhull).c)."""
+    s = jnp.broadcast_to(jnp.asarray(s, tt.t0.dtype), tt.t0.shape)
+    su = s[:, None, None, None, None]
+    d = tt.d0 + su * tt.dd                               # [U,P,R,K,n]
+    live = tt.live
+    bad = jnp.any(live & (d <= 0), axis=(1, 2, 3, 4))    # [U]
+    act = live & (d > 0) & (d < cfg.margin)
+    w = consts.seg_weight[None, None, :, None, None]
+    e_pb = jnp.sum(w * _barrier(d, cfg.margin, act), axis=(1, 2, 3, 4))
+
+    t = tt.t0 + s * tt.dt                                # [U]
+    w3 = consts.seg_weight[None, None, :, None]
+    sv = s[:, None, None, None, None]
+    vel = tt.vel0 + sv * tt.dvel
+    vn = jnp.sqrt(jnp.maximum(jnp.sum(vel * vel, axis=-1), 1e-30))
+    dv = cfg.vel_limit - vn / (w3 * t[:, None, None, None])
+    bad = bad | jnp.any(dv <= 0, axis=(1, 2, 3))
+    v_act = (dv > 0) & (dv < cfg.margin)
+    e_bd = jnp.sum(w3 * _barrier(dv, cfg.margin, v_act), axis=(1, 2, 3))
+    acc = tt.acc0 + sv * tt.dacc
+    an = jnp.sqrt(jnp.maximum(jnp.sum(acc * acc, axis=-1), 1e-30))
+    da = cfg.acc_limit - an / (w3 * w3 * (t * t)[:, None, None, None])
+    bad = bad | jnp.any(da <= 0, axis=(1, 2, 3))
+    a_act = (da > 0) & (da < cfg.margin)
+    e_bd = e_bd + jnp.sum(w3 * _barrier(da, cfg.margin, a_act), axis=(1, 2, 3))
+
+    al = tt.a0 + tt.a1 * s + tt.a2 * s * s
+    e = cfg.lam * (e_pb + e_bd) + al
+    return jnp.where(bad | jnp.isnan(e), jnp.inf, e)

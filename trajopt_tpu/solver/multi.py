@@ -487,21 +487,10 @@ def _coupled_grouped_update(consts, cfg, state, planes, ls, red, scene, groups):
     t0_g = state.piece_time.reshape(g, upg)[:, 0]
     step0 = jnp.where(t0_g + step0 * dt_g <= 0, -0.95 * t0_g / dt_g, step0)
 
-    def group_energy(step_g):                            # [G] -> [G]
-        def per_robot(st, pl, d, s, dtt):
-            ev = en.spline_energy(
-                consts, cfg, st, pl,
-                spline=st.spline + s * d,
-                piece_time=st.piece_time + s * dtt,
-            )
-            return jnp.where(
-                ev.infeasible | jnp.isnan(ev.value), jnp.inf, ev.value
-            )
+    ttab = en.build_trial_tables(consts, cfg, state, planes, directions, dt)
 
-        e_u = jax.vmap(per_robot)(
-            state, planes, directions, rep(step_g), dt
-        )
-        return gsum(e_u)
+    def group_energy(step_g):                            # [G] -> [G]
+        return gsum(en.trial_energy(consts, cfg, ttab, rep(step_g)))
 
     e0 = group_energy(jnp.zeros((g,), state.spline.dtype))
     e_step0 = group_energy(step0)
@@ -644,16 +633,15 @@ def _multi_admm_step_impl(
         t0 = state.piece_time[0]
         step0 = jnp.where(t0 + step0 * dt[0] <= 0, -0.95 * t0 / dt[0], step0)
 
-        def local_energy(step):
-            def per_robot(st, pl, d):
-                ev = en.spline_energy(
-                    consts, cfg, st, pl,
-                    spline=st.spline + step * d,
-                    piece_time=st.piece_time + step * dt[0],
-                )
-                return jnp.where(ev.infeasible | jnp.isnan(ev.value), jnp.inf, ev.value)
+        # O(elementwise) per-rung energies from once-per-iteration affine
+        # tables (en.build_trial_tables — the per-rung hull/plane einsums
+        # were the ladder stages' cost in the round-5 fused profile)
+        ttab = en.build_trial_tables(
+            consts, cfg, state, planes, directions, dt
+        )
 
-            return jnp.sum(jax.vmap(per_robot)(state, planes, directions))
+        def local_energy(step):
+            return jnp.sum(en.trial_energy(consts, cfg, ttab, step))
 
         def gsum_scalar(x):
             return jax.lax.psum(x, axis_name) if axis_name else x
@@ -717,16 +705,12 @@ def _multi_admm_step_impl(
             ccd_steps,
         )
 
-        def per_robot_energy(step_vec):
-            def one(st, pl, d, s, dtt):
-                ev = en.spline_energy(
-                    consts, cfg, st, pl,
-                    spline=st.spline + s * d,
-                    piece_time=st.piece_time + s * dtt,
-                )
-                return jnp.where(ev.infeasible | jnp.isnan(ev.value), jnp.inf, ev.value)
+        ttab = en.build_trial_tables(
+            consts, cfg, state, planes, directions, dt
+        )
 
-            return jax.vmap(one)(state, planes, directions, step_vec, dt)
+        def per_robot_energy(step_vec):
+            return en.trial_energy(consts, cfg, ttab, step_vec)
 
         e0 = per_robot_energy(jnp.zeros((u,), state.spline.dtype))
         # parallel Armijo ladder per robot: [S, U], two-stage
