@@ -455,16 +455,20 @@ def armijo_spline(
     t0, dt = state.piece_time, sd.t_direction
     step0 = jnp.where(t0 + step0 * dt <= 0, -0.95 * t0 / dt, step0)
 
-    e0 = en.spline_energy(consts, cfg, state, planes).value
+    # affine line-search tables (see en.build_trial_tables): per-rung
+    # energies become masked elementwise passes — fleet-of-one layout
+    state_u = jax.tree.map(lambda x: x[None], state)
+    planes_u = jax.tree.map(lambda x: x[None], planes)
+    ttab = en.build_trial_tables(
+        consts, cfg, state_u, planes_u, sd.direction[None], dt[None]
+    )
 
     def trial_energy(step):
-        ev = en.spline_energy(
-            consts, cfg, state, planes,
-            spline=state.spline + step * sd.direction,
-            piece_time=t0 + step * dt,
-        )
-        bad = ev.infeasible | jnp.isnan(ev.value)
-        return jnp.where(bad, jnp.inf, ev.value)
+        return en.trial_energy(
+            consts, cfg, ttab, jnp.asarray(step, t0.dtype)[None]
+        )[0]
+
+    e0 = trial_energy(jnp.zeros((), t0.dtype))
 
     def accepted(step):
         return e0 - _ARMIJO_C * sd.wolfe * step >= trial_energy(step)
