@@ -197,3 +197,30 @@ def test_multi_smoke_quick():
     assert max(h["n_planes"] for h in hist) > 0          # pair planes live
     assert max(h["step"] for h in hist) > 0
     assert np.isfinite(np.asarray(state.spline)).all()
+
+
+def test_infeasible_init_warns():
+    """solve_multi must WARN on a colliding initialization (pairwise
+    clearance <= offset) instead of silently freezing at step 0 — the multi
+    analog of driver.solve's initial_clearance warning."""
+    import warnings as _warnings
+
+    cfg = TrajOptConfig(
+        res=2, max_planes=4, max_self_planes=2, max_ccd_candidates=4, ks=1e-3
+    )
+    n_pieces = 2
+    wps = []
+    for i in range(2):
+        sgn = 1 if i % 2 == 0 else -1
+        s = np.array([sgn * 3.0, 0.0, 0.26 * i])
+        t = np.linspace(0, 1, n_pieces + 1)[:, None]
+        # endpoint -s NEGATES the z lane: the straight-line paths intersect
+        wps.append(s * (1 - t) + (-s) * t)
+    ops = sp.build_spline_ops(n_pieces, cfg.res)
+    consts = tt.device_consts(ops)
+    scene = tt.make_scene(np.full((8, 3), 100.0))
+    state = multi.init_multi_state(ops, wps, cfg.init_piece_time)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        driver.solve_multi(consts, cfg, state, scene, coupled=True, max_iters=2)
+    assert any("pairwise robot clearance" in str(r.message) for r in rec)

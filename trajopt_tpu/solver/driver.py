@@ -58,6 +58,27 @@ def initial_clearance(
     return float(d.min())
 
 
+def initial_pair_clearance(consts: SplineConsts, state: SolverState) -> float:
+    """Min pairwise hull-hull distance of a fleet state at equal segment
+    index (the quantity the pairwise CCD certifies against ``offset``).
+
+    Used by `solve_multi` to warn on a colliding initialization instead of
+    silently freezing at step 0 — the multi analog of `initial_clearance`.
+    """
+    from ..ops import geometry as geo
+
+    hulls = jax.vmap(lambda s: en.seg_cps(consts, s))(state.spline)
+    u, p, r, n, _ = hulls.shape
+    if u < 2:
+        return float("inf")
+    iu, ju = np.triu_indices(u, 1)
+    diff = (
+        hulls[iu][:, :, :, :, None, :] - hulls[ju][:, :, :, None, :, :]
+    ).reshape(-1, n * n, 3)
+    d = geo.batched_origin_dist(diff, 48, False).dist
+    return float(d.min())
+
+
 def warn_on_coarse_overflow(
     consts: SplineConsts, cfg: TrajOptConfig, spline: jnp.ndarray, scene: Scene
 ) -> None:
@@ -202,6 +223,16 @@ def solve_multi(
     coupled = (not cfg.decouple) if coupled is None else coupled
     max_iters = max_iters if max_iters is not None else cfg.max_iters
     warn_on_coarse_overflow(consts, cfg, state.spline, scene)
+    clr = initial_pair_clearance(consts, state)
+    if clr <= cfg.offset:
+        warnings.warn(
+            f"initial min pairwise robot clearance {clr:.4f} <= offset "
+            f"{cfg.offset}: the pairwise CCD clamp will freeze all motion at "
+            "step 0 (the solver, like the reference's Step.h shrink loops, "
+            "requires a collision-free initialization — separate the initial "
+            "paths, e.g. by lane offsets or the RRT planner)",
+            stacklevel=2,
+        )
     history: list[dict] = []
     it, gnorm = 0, np.inf
     # optimal_plane=1: persistent multi-robot plane caches (obstacle +
